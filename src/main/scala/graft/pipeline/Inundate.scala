@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{RatingInterp, SpatialJoin}
+import graft.synth.Synth
+
+/** The flagship operational query — SURVEY.md §3.2 (`tools/inundation.py` +
+  * `tools/mosaic_inundation.py`) as one declarative Spark plan:
+  *
+  *   points → PIP catchment assign → ⋈ broadcast(stages) → depth/class kernel
+  *          → per-cell max mosaic
+  *
+  * stages = hydrotable ⋈ broadcast(forecast) → interp (J1 + A5 fused).
+  * The pixel kernel (`tools/inundation.py:427-442`):
+  *   depth = max(stage − hand, 0); inundated ⇔ depth > 0;
+  *   class = hydroid signed by wetness (sign convention of
+  *   `tools/inundation.py:350-359,437-438`).
+  * Mosaic (`tools/overlapping_inundation.py:282`): per-cell nanmax, with the
+  * wet class winning ties (positive class > negative).
+  *
+  * Scale: one shuffle total (the mosaic groupBy on cell). Everything before
+  * it is scan → broadcast joins → codegen'd expressions.
+  */
+object Inundate {
+
+  /** Per-point tiles: (pid, cell, huc8, hydroid, hand, stage_m, depth, clazz). */
+  def tiles(spark: SparkSession, points: DataFrame): DataFrame = {
+    val assigned = SpatialJoin.assign(spark, points)
+    val stages = RatingInterp.stages(Synth.hydrotable(spark), Synth.forecast(spark))
+    assigned
+      .join(broadcast(stages), "hydroid")
+      .withColumn("depth", greatest(col("stage_m") - col("hand"), lit(0.0)))
+      .withColumn("clazz",
+        when(col("depth") > 0, col("hydroid")).otherwise(-col("hydroid")).cast("int"))
+  }
+
+  /** Mosaic: per-cell max depth + winning class (wet beats dry, then max
+    * hydroid — deterministic tie-break). */
+  def mosaic(tiles: DataFrame): DataFrame =
+    tiles.groupBy(col("cell"))
+      .agg(max(col("depth")).as("depth_max"),
+        max(col("clazz")).as("clazz"),
+        count(lit(1)).as("n_points"))
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    mosaic(tiles(spark, Synth.points(spark, sfDir)))
+}

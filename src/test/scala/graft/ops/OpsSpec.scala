@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.synth.Synth
+import graft.pipeline.Inundate
+
+class OpsSpec extends SparkTestBase {
+
+  lazy val points = Synth.points(spark, sf0001).cache()
+
+  test("spatial join assigns every point exactly once, matching grid truth") {
+    val assigned = SpatialJoin.assign(spark, points)
+    assert(assigned.count() == points.count())
+    val rows = assigned.select("pid", "lat", "lng", "hydroid").collect()
+    rows.foreach { r =>
+      assert(r.getInt(3) == Synth.hydroidOf(r.getDouble(1), r.getDouble(2)),
+        s"pid=${r.getLong(0)}")
+    }
+  }
+
+  test("rating interp: bracketing agg == typed Aggregator UDAF (np.interp semantics)") {
+    val ht = Synth.hydrotable(spark).filter(col("hydroid") % 37 === 0)
+    val fc = Synth.forecast(spark)
+    val a = RatingInterp.stages(ht, fc).withColumnRenamed("stage_m", "a")
+    val b = ht.filter(col("lake_id") === -999)
+      .join(broadcast(fc), "feature_id")
+      .groupBy(col("hydroid"))
+      .agg(RatingInterp.interpUdaf.as("b"))
+    val joined = a.join(b, "hydroid").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"hydroid=${r.get(0)}"))
+  }
+
+  test("interp clamps: Q below first knot → min stage; above last → max stage") {
+    import spark.implicits._
+    // curve q = 2s (hydroid=1 shape): knots (0,0),(1,2),(2,4)
+    val knots = Seq((1L, 1000001L, -999, 0.0, 0.0), (1L, 1000001L, -999, 1.0, 2.0),
+      (1L, 1000001L, -999, 2.0, 4.0))
+      .toDF("hydroid", "feature_id", "lake_id", "stage", "discharge_cms")
+    def stageFor(q: Double): Double = {
+      val fc = Seq((1000001L, q)).toDF("feature_id", "discharge")
+      RatingInterp.stages(knots, fc).collect()(0).getDouble(1)
+    }
+    assert(stageFor(-1.0) == 0.0) // clamp below
+    assert(stageFor(0.0) == 0.0) // exact first knot
+    assert(stageFor(3.0) == 1.5) // interior interp
+    assert(stageFor(4.0) == 2.0) // exact last knot
+    assert(stageFor(99.0) == 2.0) // clamp above
+  }
+
+  test("salted agg == direct groupBy (lossless two-stage)") {
+    val salted = SaltedAgg.countAndMax(points, col("ccell"), col("pid"), col("hand"), 32)
+    val direct = points.groupBy(col("ccell").as("k"))
+      .agg(count(lit(1)).as("n"), max(col("hand")).as("mx"))
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+  }
+
+  test("knn: within-cap matches brute force; beyond-cap is null") {
+    import spark.implicits._
+    val gages = Synth.catchmentList.filter(c => Synth.isGage(c.hydroid))
+    val got = KnnJoin.nearestGage(spark, points)
+      .select("pid", "nn_hydroid", "nn_dist2").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val pts = points.select("pid", "lat", "lng").collect()
+    pts.take(500).foreach { r =>
+      val (pid, lat, lng) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      val best = gages.map(g => (graft.geo.Geom.dist2(lat, lng, g.lat_c, g.lng_c), g.hydroid))
+        .filter(_._1 <= KnnJoin.Cap2).sorted.headOption.map(_._2)
+      assert(got(pid) == best, s"pid=$pid")
+    }
+  }
+
+  test("mosaic is partitioning-invariant (permutation-proof aggregates)") {
+    val tiles = Inundate.tiles(spark, points).cache()
+    val a = Inundate.mosaic(tiles)
+    val b = Inundate.mosaic(tiles.repartition(17, col("pid")))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    tiles.unpersist()
+  }
+
+  test("depth kernel: depth = max(stage - hand, 0); class sign ⇔ wetness") {
+    val tiles = Inundate.tiles(spark, points)
+    val bad = tiles.filter(
+      (col("depth") < 0) ||
+        (col("depth") > 0 && col("clazz") =!= col("hydroid").cast("int")) ||
+        (col("depth") === 0 && col("clazz") =!= -col("hydroid").cast("int")) ||
+        abs(greatest(col("stage_m") - col("hand"), lit(0.0)) - col("depth")) > 0)
+    assert(bad.count() == 0)
+  }
+
+  test("lake catchments are masked out of tiles (LakeID filter, P2)") {
+    val tiles = Inundate.tiles(spark, points)
+    assert(tiles.filter(col("hydroid") % 97 === 0).count() == 0)
+    // but some points do land in lake catchments
+    val asg = SpatialJoin.assign(spark, points)
+    assert(asg.filter(col("hydroid") % 97 === 0).count() > 0)
+  }
+}
