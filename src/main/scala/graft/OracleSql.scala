@@ -83,6 +83,80 @@ object OracleSql {
       |  FROM asg a JOIN stg s ON a.hydroid = s.hydroid
       |)""".stripMargin
 
+  val mos: String = "mos AS (SELECT cell, max(depth) AS depth_max FROM til GROUP BY cell)"
+
+  /** Agreement class per cell: 0 TN / 1 FN / 2 FP / 3 TP / 4 masked
+    * (`tools_shared_functions.py:400-406`); benchmark extent + exclusion mask
+    * are pure row/col hashes of the cell id. */
+  val agr: String =
+    """agr AS (
+      |  SELECT cell,
+      |    CAST(CASE WHEN (((cell // 268435456) % 268435456) * 29 + (cell % 268435456) * 13) % 50 = 0 THEN 4
+      |         ELSE (CASE WHEN depth_max > 0.0 THEN 1 ELSE 0 END) * 2
+      |              + CASE WHEN (((cell // 268435456) % 268435456) * 31 + (cell % 268435456) * 17) % 10 < 4
+      |                THEN 1 ELSE 0 END
+      |    END AS INT) AS agreement
+      |  FROM mos
+      |)""".stripMargin
+
+  // ---- web-text corpus + dedup family ----
+
+  /** documents + exact clones (every 40th) + truncated near-clones (every 50th). */
+  val corpus: String =
+    """corpus AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 2000000 AS BIGINT) AS doc_id, text, lang
+      |  FROM documents WHERE doc_id % 40 = 0
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id,
+      |    substring(text, 1, CAST(length(text) - 10 AS INT)) AS text, lang
+      |  FROM documents WHERE doc_id % 50 = 0
+      |)""".stripMargin
+
+  /** char 8-grams of the first 512 chars (uncorrelated series + bound filter
+    * because this DuckDB build lacks lateral generate_series). */
+  val sh: String =
+    """sh AS (
+      |  SELECT c.doc_id, substring(c.text, g.i, 8) AS sh
+      |  FROM corpus c CROSS JOIN generate_series(1, 505) g(i)
+      |  WHERE g.i <= least(length(c.text), 512) - 7
+      |)""".stripMargin
+
+  val mh: String =
+    """mh AS (
+      |  SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || ':' || sh)) AS minh
+      |  FROM sh CROSS JOIN generate_series(0, 15) s(seed)
+      |  GROUP BY doc_id, s.seed
+      |)""".stripMargin
+
+  val bnd: String =
+    """bnd AS (
+      |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+      |    min(CASE WHEN seed % 4 = 0 THEN minh END) || min(CASE WHEN seed % 4 = 1 THEN minh END)
+      |      || min(CASE WHEN seed % 4 = 2 THEN minh END) || min(CASE WHEN seed % 4 = 3 THEN minh END) AS bandkey
+      |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+      |)""".stripMargin
+
+  val prs: String =
+    """prs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  // ---- ANN over embeddings (quantized long form; pos is 0-based) ----
+
+  val qt: String =
+    """qt AS (
+      |  SELECT vec_id, g.i - 1 AS pos,
+      |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN generate_series(1, 256) g(i)
+      |  WHERE g.i <= len(embedding)
+      |)""".stripMargin
+
+  val nrm: String =
+    "nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qt GROUP BY vec_id)"
+
   def withCtes(ctes: String*)(body: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + body
 }

@@ -73,7 +73,51 @@ object SparkEntry {
     "q10_salted_hot" -> ((s, dir) =>
       SaltedAgg.countAndMax(Synth.points(s, dir),
         col("ccell"), col("pid"), col("hand"), 32)
-        .select(col("k"), col("n"), col("mx")))
+        .select(col("k"), col("n"), col("mx"))),
+
+    // §3.3 agreement raster: predicted vs benchmark per cell
+    "q11_agreement" -> ((s, dir) =>
+      Agreement.agreement(Inundate.run(s, dir)).select(col("cell"), col("agreement"))),
+
+    // A7+A8 contingency counts + CSI/TPR/FAR/MCC/ACC/F1/bias
+    "q12_metrics" -> ((s, dir) =>
+      Agreement.metrics(Agreement.agreement(Inundate.run(s, dir)))),
+
+    // ---- training-data pipeline ops over the web-text corpus ----
+
+    // exact dedup (hash-groupBy)
+    "q13_dedup_exact" -> ((s, dir) => TextOps.exactDupGroups(Synth.corpus(s, dir))),
+
+    // MinHash signatures (long form)
+    "q14_minhash" -> ((s, dir) =>
+      TextOps.minhashLong(Synth.corpus(s, dir))
+        .select(col("doc_id"), col("seed").cast("int").as("seed"), col("minh"))),
+
+    // LSH band-bucket candidate pairs
+    "q15_lsh_pairs" -> ((s, dir) => TextOps.lshPairs(Synth.corpus(s, dir))),
+
+    // exact n-gram Jaccard verification of the candidates
+    "q16_jaccard" -> ((s, dir) => TextOps.ngramJaccard(Synth.corpus(s, dir))),
+
+    // SimHash fingerprints
+    "q17_simhash" -> ((s, dir) => TextOps.simhash16(Synth.corpus(s, dir))),
+
+    // language-ID heuristic (marker-count argmax)
+    "q18_langid" -> ((s, dir) => TextOps.langId(Synth.corpus(s, dir))),
+
+    // quality scoring features + keep flag
+    "q19_quality" -> ((s, dir) => TextOps.quality(Synth.corpus(s, dir))),
+
+    // k-min document fingerprint
+    "q20_fingerprint" -> ((s, dir) => TextOps.fingerprint(Synth.corpus(s, dir))),
+
+    // brute-force quantized-cosine top-k ANN
+    "q21_ann_brute" -> ((s, dir) =>
+      AnnSearch.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // SRP bucket assignment (the LSH scale path for ANN)
+    "q22_srp_buckets" -> ((s, dir) =>
+      AnnSearch.srpBuckets(s.read.parquet(s"$dir/embeddings.parquet")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -135,6 +179,136 @@ object SparkEntry {
         |    + CAST(floor((lat + 90.0) / 180.0 * 32.0) AS BIGINT) * 268435456
         |    + CAST(floor((lng + 180.0) / 360.0 * 64.0) AS BIGINT) AS k,
         |  count(*) AS n, max(hand) AS mx
-        |FROM pts GROUP BY 1""".stripMargin)
+        |FROM pts GROUP BY 1""".stripMargin),
+
+    "q11_agreement" -> withCtes(pts, asg, ht, fc, stg, til, mos, agr)(
+      "SELECT cell, agreement FROM agr"),
+
+    "q12_metrics" -> withCtes(pts, asg, ht, fc, stg, til, mos, agr,
+      """c AS (
+        |  SELECT count(CASE WHEN agreement = 0 THEN 1 END) AS tn,
+        |         count(CASE WHEN agreement = 1 THEN 1 END) AS fn,
+        |         count(CASE WHEN agreement = 2 THEN 1 END) AS fp,
+        |         count(CASE WHEN agreement = 3 THEN 1 END) AS tp,
+        |         count(CASE WHEN agreement = 4 THEN 1 END) AS masked
+        |  FROM agr
+        |)""".stripMargin)(
+      """SELECT tn, fn, fp, tp, masked,
+        |  CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) AS csi,
+        |  CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) AS tpr,
+        |  CAST(fp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) AS far,
+        |  (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |    / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |           * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)) * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) AS mcc,
+        |  (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+        |    / (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) AS acc,
+        |  CAST(tp AS DOUBLE) * 2 / (CAST(tp AS DOUBLE) * 2 + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) AS f1,
+        |  (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) AS bias
+        |FROM c""".stripMargin),
+
+    "q13_dedup_exact" -> withCtes(corpus)(
+      """SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_doc, max(doc_id) AS max_doc
+        |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin),
+
+    "q14_minhash" -> withCtes(corpus, sh, mh)(
+      "SELECT doc_id, CAST(seed AS INT) AS seed, minh FROM mh"),
+
+    "q15_lsh_pairs" -> withCtes(corpus, sh, mh, bnd, prs)("SELECT doc_a, doc_b FROM prs"),
+
+    "q16_jaccard" -> withCtes(corpus, sh, mh, bnd, prs,
+      "dsh AS (SELECT DISTINCT doc_id, sh FROM sh)",
+      "sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id)",
+      """inter AS (
+        |  SELECT p2.doc_a, p2.doc_b, count(*) AS i
+        |  FROM prs p2 JOIN dsh a ON p2.doc_a = a.doc_id
+        |  JOIN dsh b ON p2.doc_b = b.doc_id AND a.sh = b.sh
+        |  GROUP BY p2.doc_a, p2.doc_b
+        |)""".stripMargin)(
+      """SELECT p.doc_a, p.doc_b,
+        |  CAST(coalesce(i.i, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS DOUBLE) AS jaccard
+        |FROM prs p
+        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b""".stripMargin),
+
+    "q17_simhash" -> {
+      val sums = (0 until 16).map(k =>
+        s"sum(CASE WHEN ((position(substring(h, ${k / 4 + 1}, 1) IN '0123456789abcdef') - 1) >> ${3 - k % 4}) % 2 = 1 THEN 1 ELSE -1 END) AS s$k")
+        .mkString(",\n      ")
+      val fp = (0 until 16).map(k => s"CASE WHEN s$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
+      withCtes(corpus, sh)(
+        s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+           |FROM (SELECT doc_id,
+           |      $sums
+           |      FROM (SELECT doc_id, md5(sh) AS h FROM sh) GROUP BY doc_id)""".stripMargin)
+    },
+
+    "q18_langid" -> withCtes(corpus,
+      """lc AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(t2) - length(replace(t2, ' scan ', ''))) / 6 AS INT) AS c_en,
+        |    CAST((length(t2) - length(replace(t2, ' join ', ''))) / 6 AS INT) AS c_es,
+        |    CAST((length(t2) - length(replace(t2, ' sort ', ''))) / 6 AS INT) AS c_de,
+        |    CAST((length(t2) - length(replace(t2, ' hash ', ''))) / 6 AS INT) AS c_fr,
+        |    CAST((length(t2) - length(replace(t2, ' batch ', ''))) / 7 AS INT) AS c_zh
+        |  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS t2 FROM corpus)
+        |)""".stripMargin)(
+      """SELECT doc_id, lang,
+        |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS lang_pred,
+        |  c_en, c_es, c_de, c_fr, c_zh
+        |FROM lc""".stripMargin),
+
+    "q19_quality" -> withCtes(corpus)(
+      """SELECT doc_id, CAST(nc AS INT) AS n_chars_m, CAST(nt AS INT) AS n_tokens,
+        |  CAST(al AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_word_len,
+        |  CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS stop_ratio,
+        |  CASE WHEN nt >= 16 AND CAST(al AS DOUBLE) / CAST(nt AS DOUBLE) >= 2.0
+        |            AND CAST(al AS DOUBLE) / CAST(nt AS DOUBLE) <= 12.0 THEN 1 ELSE 0 END AS keep
+        |FROM (SELECT doc_id, length(text) AS nc,
+        |        CAST(length(text) - length(replace(text, ' ', '')) AS INT) + 1 AS nt,
+        |        length(replace(text, ' ', '')) AS al,
+        |        CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS st
+        |      FROM corpus)""".stripMargin),
+
+    "q20_fingerprint" -> withCtes(corpus, sh)(
+      """SELECT doc_id,
+        |  min(CASE WHEN rn = 1 THEN h END) || min(CASE WHEN rn = 2 THEN h END)
+        |    || min(CASE WHEN rn = 3 THEN h END) || min(CASE WHEN rn = 4 THEN h END) AS fp,
+        |  count(*) AS k
+        |FROM (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        |      FROM (SELECT DISTINCT doc_id, md5(sh) AS h FROM sh))
+        |WHERE rn <= 4 GROUP BY doc_id""".stripMargin),
+
+    "q21_ann_brute" -> withCtes(qt, nrm,
+      """dots AS (
+        |  SELECT a.vec_id AS qvec, b.vec_id AS vec, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |  FROM qt a JOIN qt b ON a.pos = b.pos
+        |  WHERE a.vec_id % 250 = 0 AND a.vec_id <> b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id
+        |)""".stripMargin,
+      """scored AS (
+        |  SELECT d.qvec, d.vec,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(vn.n2 AS DOUBLE))) AS cos
+        |  FROM dots d JOIN nrm qn ON d.qvec = qn.vec_id JOIN nrm vn ON d.vec = vn.vec_id
+        |)""".stripMargin)(
+      """SELECT qvec, CAST(rank AS INT) AS rank, vec, cos
+        |FROM (SELECT qvec, vec, cos,
+        |        row_number() OVER (PARTITION BY qvec ORDER BY cos DESC, vec ASC) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin),
+
+    "q22_srp_buckets" -> {
+      val sums = (0 until 8).map(b =>
+        s"sum(q * (((pos * 197 + ${b * 131}) % 2) * 2 - 1)) AS p$b").mkString(",\n      ")
+      val bucket = (0 until 8).map(b => s"CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      withCtes(qt)(
+        s"""SELECT vec_id, CAST($bucket AS BIGINT) AS bucket
+           |FROM (SELECT vec_id,
+           |      $sums
+           |      FROM qt GROUP BY vec_id)""".stripMargin)
+    }
   )
 }

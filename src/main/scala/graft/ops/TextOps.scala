@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table — the ops a
+  * 100 TB web-text corpus needs: exact + near dedup (MinHash/LSH, SimHash,
+  * n-gram Jaccard), language-ID, quality scoring, token counting, document
+  * fingerprinting. All built from codegen'd built-ins (md5/substring/length/
+  * replace + conditional aggregation) — no UDFs — and every hash is md5-based
+  * so the DuckDB oracle reproduces values exactly.
+  *
+  * Scale notes: shingling explodes ~L/1 rows per doc (bounded by
+  * [[MaxShingleChars]]); the minhash reduce is a partial-aggregating groupBy
+  * on doc_id (map-side combine collapses to numHashes rows per doc before
+  * shuffle). LSH banding shuffles on (band, bandkey) — the classic
+  * bucket-join; bucket skew (boilerplate pages) is bounded because bandkey
+  * includes 4 concatenated 128-bit minima.
+  */
+object TextOps {
+
+  val ShingleLen = 8
+  val MaxShingleChars = 512
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows/band
+
+  /** (doc_id, sh): all char [[ShingleLen]]-grams of the first
+    * [[MaxShingleChars]] chars. Docs shorter than one shingle are dropped. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= ShingleLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1),
+          least(length(col("text")), lit(MaxShingleChars)) - (ShingleLen - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr(s"substring(text, i, $ShingleLen)").as("sh"))
+
+  /** MinHash signature, long form: (doc_id, seed, minh) — minh is the
+    * lexicographic min of md5(seed || ':' || shingle), seed ∈ [0, numHashes).
+    * String-min of md5 hex is a valid uniform minhash and is engine-portable. */
+  def minhashLong(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .withColumn("seed", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("minh"))
+
+  /** LSH bands: (doc_id, band, bandkey); bandkey concatenates the 4 per-seed
+    * minima of the band in seed order via conditional aggregation (order-
+    * insensitive, partial-agg friendly — no collect_list). */
+  def lshBands(docs: DataFrame): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
+    val parts = (0 until rowsPerBand).map(j =>
+      min(when(col("seed") % rowsPerBand === j, col("minh"))))
+    minhashLong(docs)
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat(parts: _*).as("bandkey"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing any full band. */
+  def lshPairs(docs: DataFrame): DataFrame = {
+    val b = lshBands(docs)
+    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
+    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("bandkey"))
+    a.join(c, Seq("band", "bandkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for the LSH candidate pairs (verification stage of
+    * the dedup pipeline): |A∩B| / |A∪B| over distinct shingle sets. */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).distinct().cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = lshPairs(docs)
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("sza") + col("szb") - col("i")).cast("double")).as("jaccard"))
+  }
+
+  /** 16-bit SimHash from the md5 of each shingle: bit k of the fingerprint is
+    * the majority vote of hex-digit bit k across shingles. */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val withHash = shingles(docs)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    // hex digit d_k = value of hex char k/4; bit = (d >> (3 - k%4)) & 1
+    val digitVal = (k: Int) =>
+      conv(substring(col("h"), k / 4 + 1, 1), 16, 10).cast("int")
+    val bitSums = (0 until 16).map { k =>
+      val bit = shiftright(digitVal(k), 3 - k % 4) % 2
+      sum(bit * 2 - 1).as(s"s$k")
+    }
+    val sums = withHash.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16).map(k =>
+      when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Exact duplicate groups by content hash (n > 1 only). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n") > 1)
+
+  // ---- text analysis ----
+
+  /** Occurrences of `marker` in ' '+text+' ' via the replace-length trick
+    * (left-to-right non-overlapping — identical in JVM and DuckDB). */
+  def markerCount(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    ((length(padded) - length(replace(padded, lit(marker), lit("")))) / marker.length).cast("int")
+  }
+
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> " scan ", "es" -> " join ", "de" -> " sort ",
+    "fr" -> " hash ", "zh" -> " batch ")
+
+  /** Heuristic language-ID: argmax of marker-word counts, ties broken by
+    * marker order (the fixed CASE ladder). */
+  def langId(docs: DataFrame): DataFrame = {
+    val counted = LangMarkers.foldLeft(docs.select(col("doc_id"), col("text"), col("lang"))) {
+      case (df, (l, m)) => df.withColumn(s"c_$l", markerCount(col("text"), m))
+    }
+    val langs = LangMarkers.map(_._1)
+    // CASE c_en >= all others THEN en, else c_es >= remaining ...
+    def ladder(remaining: List[String]): Column = remaining match {
+      case l :: Nil => lit(l)
+      case l :: rest =>
+        val ge = rest.map(r => col(s"c_$l") >= col(s"c_$r")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(ladder(rest))
+      case Nil => lit(null)
+    }
+    counted.select((Seq(col("doc_id"), col("lang"), ladder(langs.toList).as("lang_pred")) ++
+      langs.map(l => col(s"c_$l"))): _*)
+  }
+
+  /** Quality-score features: token count, char count, mean word length,
+    * stopword-marker ratio, and a composite keep/drop flag. */
+  def quality(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text"))
+    val nTokens = (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))).cast("int") + 1
+    val alnum = length(replace(col("text"), lit(" "), lit("")))
+    docs.select(col("doc_id"), nChars.as("n_chars_m"), nTokens.as("n_tokens"),
+      (alnum.cast("double") / nTokens.cast("double")).as("mean_word_len"),
+      (markerCount(col("text"), " the ").cast("double") / nTokens.cast("double")).as("stop_ratio"))
+      .withColumn("keep",
+        (col("n_tokens") >= 16 && col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0).cast("int"))
+  }
+
+  /** Document fingerprint: concatenation of the 4 smallest shingle md5s
+    * (winnowing-style k-min sketch). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    shingles(docs).distinct()
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .groupBy(col("doc_id"))
+      .agg(concat(
+        min(when(col("rn") === 1, col("h"))), min(when(col("rn") === 2, col("h"))),
+        min(when(col("rn") === 3, col("h"))), min(when(col("rn") === 4, col("h")))).as("fp"),
+        count(lit(1)).as("k"))
+  }
+}

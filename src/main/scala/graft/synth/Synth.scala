@@ -65,6 +65,21 @@ object Synth {
       col("lang")))
   }
 
+  /** Web-text corpus for the dedup/quality operators: documents plus
+    * deterministic exact clones (every 40th doc) and near-clones (every 50th,
+    * last 10 chars truncated) — the synthetic duplicate structure the dedup
+    * family must find. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+    val exact = d.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"), col("lang"))
+    val near = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, 1, length(text) - 10)").as("text"), col("lang"))
+    d.unionByName(exact).unionByName(near)
+  }
+
   /** Attach lat/lng/hand/cell/ccell to any DF with a `pid` BIGINT column. */
   def withGeo(df: DataFrame): DataFrame = {
     val withLatLng = df

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class AnnSpec extends SparkTestBase {
+
+  lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  test("brute top-k: correct k, no self-match, cos in [-1,1], ranks ordered") {
+    val rows = AnnSearch.bruteTopK(emb, k = 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qv, rs) =>
+      assert(rs.length == 5)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      rs.foreach { r =>
+        assert(r.getLong(2) != qv)
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+      }
+      // cos non-increasing with rank
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("brute top-1 matches driver-side exact cosine argmax") {
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray.map(f => math.round(f.toDouble * 1000.0)))
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val top1 = AnnSearch.bruteTopK(emb, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    top1.foreach { case (qv, (vec, c)) =>
+      val best = vecs.filter(_._1 != qv)
+        .map { case (id, v) => (id, cos(vecs(qv), v)) }
+        .maxBy { case (id, s) => (s, -id) }
+      assert(best._1 == vec && best._2 == c, s"qvec=$qv")
+    }
+  }
+
+  test("SRP buckets: clones of the same vector share a bucket; buckets bounded") {
+    val b = AnnSearch.srpBuckets(emb).collect()
+    assert(b.length == emb.count())
+    b.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 256))
+    // bucketed ANN only scores intra-bucket pairs and agrees with brute cosine
+    val bucketCos = AnnSearch.lshBucketTopK(emb).filter(col("va") % 250 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = AnnSearch.bruteTopK(emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val common = bucketCos.keySet.intersect(brute.keySet)
+    common.foreach(k => assert(bucketCos(k) == brute(k)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.synth.Synth
+
+class TextOpsSpec extends SparkTestBase {
+
+  lazy val corpus = Synth.corpus(spark, sf0001).cache()
+
+  test("exact dedup finds exactly the planted clone groups") {
+    val groups = TextOps.exactDupGroups(corpus).collect()
+    assert(groups.nonEmpty)
+    // every group pairs an original with its +2000000 clone
+    groups.foreach { r =>
+      assert(r.getLong(1) == 2) // n
+      assert(r.getLong(3) == r.getLong(2) + 2000000L) // max_doc = keep_doc + 2M
+      assert(r.getLong(2) % 40 == 0)
+    }
+    val nOriginals = corpus.filter(col("doc_id") < 1000000 && col("doc_id") % 40 === 0).count()
+    assert(groups.length == nOriginals)
+  }
+
+  test("LSH pairs ⊇ exact clone pairs; jaccard of exact clones = 1.0") {
+    val pairs = TextOps.ngramJaccard(corpus).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exactPairs = pairs.filter { case ((a, b), _) => b == a + 2000000L }
+    assert(exactPairs.nonEmpty)
+    exactPairs.values.foreach(j => assert(j == 1.0))
+    // near clones (truncated): high but typically < 1
+    val nearPairs = pairs.filter { case ((a, b), _) => b == a + 1000000L }
+    assert(nearPairs.nonEmpty)
+    nearPairs.values.foreach(j => assert(j > 0.5))
+  }
+
+  test("simhash identical for exact clones; hamming-near for near clones") {
+    val sims = TextOps.simhash16(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val origs = sims.keys.filter(d => d < 1000000 && d % 40 == 0 && sims.contains(d + 2000000))
+    assert(origs.nonEmpty)
+    origs.foreach(d => assert(sims(d) == sims(d + 2000000)))
+    sims.keys.filter(d => d < 1000000 && d % 50 == 0 && sims.contains(d + 1000000)).foreach { d =>
+      val ham = java.lang.Long.bitCount(sims(d) ^ sims(d + 1000000))
+      assert(ham <= 6, s"doc $d hamming $ham")
+    }
+  }
+
+  test("langid predicts a language from the marker set; counts non-negative") {
+    val rows = TextOps.langId(corpus).collect()
+    assert(rows.length == corpus.count())
+    val langs = TextOps.LangMarkers.map(_._1).toSet
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(2)))
+      (3 until 8).foreach(i => assert(r.getInt(i) >= 0))
+    }
+  }
+
+  test("quality features consistent with raw text") {
+    val q = TextOps.quality(corpus).join(corpus, "doc_id").collect()
+    q.foreach { r =>
+      val text = r.getAs[String]("text")
+      assert(r.getAs[Int]("n_chars_m") == text.length)
+      assert(r.getAs[Int]("n_tokens") == text.count(_ == ' ') + 1)
+      assert(r.getAs[Int]("keep") == 0 || r.getAs[Int]("keep") == 1)
+    }
+  }
+
+  test("fingerprint is 4 concatenated md5s and stable across partitionings") {
+    val a = TextOps.fingerprint(corpus)
+    val b = TextOps.fingerprint(corpus.repartition(13))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    a.collect().foreach(r => if (r.getLong(2) == 4) assert(r.getString(1).length == 128))
+  }
+}
