@@ -144,6 +144,45 @@ object OracleSql {
       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
       |)""".stripMargin
 
+  // ---- synthetic stream network (graph ops G1-G5) ----
+
+  /** Closed-form reach network: lr = floor(h/144) % 8, lc = h % 8 (144 ≡ 0
+    * mod 8); downstream (lr−1, lc + (lc%3 − 1) clamped); lr=0 → −1. */
+  val net: String =
+    """net AS (
+      |  SELECT hydroid,
+      |    lpad(CAST(CAST(floor(floor(hydroid / 144) / 8) * 18 + floor((hydroid % 144) / 8) AS BIGINT) AS VARCHAR), 8, '0') AS huc8,
+      |    CAST(1 + hydroid % 8 AS INT) AS order_,
+      |    CAST(1.0 AS DOUBLE) + (hydroid % 8) * CAST(0.125 AS DOUBLE) AS length_km,
+      |    CAST(CASE WHEN (CAST(floor(hydroid / 144) AS BIGINT) % 8) = 0 THEN -1
+      |         ELSE (CAST(floor(hydroid / 144) AS BIGINT) - 1) * 144 + (hydroid % 144) - (hydroid % 8)
+      |              + CASE WHEN (hydroid % 8) + ((hydroid % 8) % 3 - 1) < 0
+      |                       OR (hydroid % 8) + ((hydroid % 8) % 3 - 1) > 7
+      |                     THEN (hydroid % 8) ELSE (hydroid % 8) + ((hydroid % 8) % 3 - 1) END
+      |    END AS BIGINT) AS to_node
+      |  FROM (SELECT a.x * 144 + b.x AS hydroid
+      |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x))
+      |)""".stripMargin
+
+  /** Arbolate sums via recursive transitive closure (lengths are dyadic →
+    * exact sums, order-insensitive). Standalone query (WITH RECURSIVE). */
+  val closure: String =
+    """cl AS (
+      |  SELECT hydroid AS u, hydroid AS d FROM net
+      |  UNION ALL
+      |  SELECT cl.u, n.to_node AS d FROM cl JOIN net n ON cl.d = n.hydroid WHERE n.to_node >= 0
+      |)""".stripMargin
+
+  val arboAgg: String =
+    """arbo AS (
+      |  SELECT c.d AS hydroid, sum(n.length_km) AS arbolate_km
+      |  FROM cl c JOIN net n ON c.u = n.hydroid
+      |  GROUP BY c.d
+      |)""".stripMargin
+
+  def withRecursiveCtes(ctes: String*)(body: String): String =
+    "WITH RECURSIVE " + ctes.mkString(",\n") + "\n" + body
+
   // ---- ANN over embeddings (quantized long form; pos is 0-based) ----
 
   val qt: String =

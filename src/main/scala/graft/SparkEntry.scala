@@ -117,7 +117,53 @@ object SparkEntry {
 
     // SRP bucket assignment (the LSH scale path for ANN)
     "q22_srp_buckets" -> ((s, dir) =>
-      AnnSearch.srpBuckets(s.read.parquet(s"$dir/embeddings.parquet")))
+      AnnSearch.srpBuckets(s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // ---- graph ops (§2.9) over the synthetic stream network ----
+
+    // network synthesis (reach table)
+    "q23_reaches" -> ((s, _) =>
+      StreamNet.reaches(s).select(col("hydroid").cast("long").as("hydroid"), col("huc8"),
+        col("order_").cast("int").as("order_"), col("length_km"),
+        col("to_node").cast("long").as("to_node"))),
+
+    // G2 endpoints via anti-join semantics
+    "q24_endpoints" -> ((s, _) =>
+      StreamNet.endpoints(StreamNet.reaches(s))
+        .select(col("hydroid").cast("long").as("hydroid"), col("is_outlet"), col("is_headwater"))),
+
+    // G3 arbolate sum — per-HUC in-memory kernel vs recursive-CTE oracle
+    "q25_arbolate" -> ((s, _) =>
+      StreamNet.arbolate(s, StreamNet.reaches(s))
+        .select(col("huc8"), col("hydroid").cast("long").as("hydroid"), col("arbolate_km"))),
+
+    // G4 level-path assignment (deterministic confluence tie-breaks)
+    "q26_levelpath" -> ((s, _) =>
+      StreamNet.levelPaths(s, StreamNet.reaches(s))
+        .select(col("huc8"), col("hydroid").cast("long").as("hydroid"),
+          col("levelpath_id").cast("long").as("levelpath_id"))),
+
+    // G1+G5 NextDownID resolved from node-coordinate self-join
+    "q27_next_down" -> ((s, _) =>
+      StreamNet.resolveNextDown(StreamNet.reaches(s))
+        .select(col("hydroid").cast("long").as("hydroid"),
+          col("next_down_id").cast("long").as("next_down_id"))),
+
+    // A10/W2: HUC-scoped sequence ids (deterministic row_number)
+    "q28_seq_ids" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("huc8")).orderBy(col("hydroid"))
+      StreamNet.reaches(s)
+        .withColumn("seq", row_number().over(w))
+        .select(col("hydroid").cast("long").as("hydroid"),
+          concat(substring(col("huc8"), 5, 4), lpad(col("seq").cast("string"), 4, "0")).as("hydro_str"))
+    }),
+
+    // W3 generator: split reaches into 0.5 km segments
+    "q29_segments" -> ((s, _) =>
+      StreamNet.segments(StreamNet.reaches(s))
+        .select(col("hydroid").cast("long").as("hydroid"), col("seg").cast("int").as("seg"),
+          col("seg_start"), col("seg_end")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -309,6 +355,55 @@ object SparkEntry {
            |FROM (SELECT vec_id,
            |      $sums
            |      FROM qt GROUP BY vec_id)""".stripMargin)
-    }
+    },
+
+    "q23_reaches" -> withCtes(net)(
+      "SELECT hydroid, huc8, order_, length_km, to_node FROM net"),
+
+    "q24_endpoints" -> withCtes(net)(
+      """SELECT n.hydroid, CASE WHEN n.to_node = -1 THEN 1 ELSE 0 END AS is_outlet,
+        |  CASE WHEN u.hydroid IS NULL THEN 1 ELSE 0 END AS is_headwater
+        |FROM net n LEFT JOIN (SELECT DISTINCT to_node AS hydroid FROM net WHERE to_node >= 0) u
+        |  ON n.hydroid = u.hydroid""".stripMargin),
+
+    "q25_arbolate" -> withRecursiveCtes(net, closure)(
+      """SELECT n2.huc8, c.d AS hydroid, sum(n.length_km) AS arbolate_km
+        |FROM cl c JOIN net n ON c.u = n.hydroid JOIN net n2 ON c.d = n2.hydroid
+        |GROUP BY n2.huc8, c.d""".stripMargin),
+
+    "q26_levelpath" -> withRecursiveCtes(net, closure, arboAgg,
+      """chosen AS (
+        |  SELECT parent, hydroid AS chosen FROM (
+        |    SELECT n.to_node AS parent, n.hydroid,
+        |      row_number() OVER (PARTITION BY n.to_node
+        |        ORDER BY n.order_ DESC, a.arbolate_km DESC, n.hydroid DESC) AS rn
+        |    FROM net n JOIN arbo a ON n.hydroid = a.hydroid WHERE n.to_node >= 0)
+        |  WHERE rn = 1
+        |)""".stripMargin,
+      """lp AS (
+        |  SELECT n.hydroid, n.hydroid AS branch
+        |  FROM net n LEFT JOIN chosen c ON c.parent = n.to_node AND c.chosen = n.hydroid
+        |  WHERE n.to_node = -1 OR c.chosen IS NULL
+        |  UNION ALL
+        |  SELECT c.chosen AS hydroid, lp.branch
+        |  FROM lp JOIN chosen c ON c.parent = lp.hydroid
+        |)""".stripMargin)(
+      """SELECT n.huc8, lp.hydroid, lp.branch AS levelpath_id
+        |FROM lp JOIN net n ON lp.hydroid = n.hydroid""".stripMargin),
+
+    "q27_next_down" -> withCtes(net)(
+      "SELECT hydroid, to_node AS next_down_id FROM net"),
+
+    "q28_seq_ids" -> withCtes(net)(
+      """SELECT hydroid, substring(huc8, 5, 4)
+        |  || lpad(CAST(CAST(row_number() OVER (PARTITION BY huc8 ORDER BY hydroid) AS INT) AS VARCHAR), 4, '0') AS hydro_str
+        |FROM net""".stripMargin),
+
+    "q29_segments" -> withCtes(net)(
+      """SELECT hydroid, CAST(g.i AS INT) AS seg,
+        |  (g.i - 1) * CAST(0.5 AS DOUBLE) AS seg_start,
+        |  least(g.i * CAST(0.5 AS DOUBLE), length_km) AS seg_end
+        |FROM net CROSS JOIN generate_series(1, 4) g(i)
+        |WHERE g.i <= CAST(ceil(length_km / CAST(0.5 AS DOUBLE)) AS INT)""".stripMargin)
   )
 }

@@ -115,7 +115,7 @@ object Synth {
 
   /** Driver-side catchment polygon list (broadcast dimension, ~20736 rows ≈
     * 3 MB — the NWM-catchment analog; always broadcast, never shuffled). */
-  def catchmentList: IndexedSeq[Catchment] =
+  lazy val catchmentList: IndexedSeq[Catchment] =
     for (k <- 0 until CatRows * CatCols) yield {
       val r = k / CatCols; val c = k % CatCols
       val latMin = r * CatH - 90.0; val latMax = (r + 1) * CatH - 90.0

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.synth.Synth
+import java.nio.file.Files
+
+class ForecastStreamSpec extends SparkTestBase {
+
+  private def writeBatch(dir: String, rows: Seq[(Long, Double, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("feature_id", "discharge", "secs")
+      .select(col("feature_id"), col("discharge"),
+        timestamp_seconds(col("secs")).as("event_ts"))
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  test("windowed max discharge over a forecast stream (watermark + window agg)") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    writeBatch(dir, Seq((1000001L, 5.0, 1000L), (1000001L, 9.0, 1100L), (1000002L, 2.0, 1000L)))
+    val q = ForecastStream.windowedMaxDischarge(spark, dir)
+      .writeStream.outputMode("complete").format("memory").queryName("wmax").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT feature_id, discharge, n_updates FROM wmax").collect()
+      assert(rows.nonEmpty)
+      val byFeature = rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(byFeature(1000001L) == ((9.0, 2L)))
+      assert(byFeature(1000002L) == ((2.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("per-micro-batch stage recomputation via foreachBatch (stream-static join)") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    val ht = Synth.hydrotable(spark).filter(col("hydroid") % 199 === 0).cache()
+    writeBatch(dir, Seq((1000199L, 50.0, 1000L)))
+    @volatile var captured: Map[Long, Double] = Map.empty
+    val q = ForecastStream.stagesPerBatch(spark, dir, ht) { (stages, _) =>
+      val m = stages.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      if (m.nonEmpty) captured = m
+    }
+    try {
+      q.processAllAvailable()
+      assert(captured.contains(199L))
+      // equals the batch interp for the same forecast
+      import spark.implicits._
+      val fc = Seq((1000199L, 50.0)).toDF("feature_id", "discharge")
+      val expect = graft.ops.RatingInterp.stages(ht, fc).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(captured(199L) == expect(199L))
+    } finally q.stop()
+  }
+
+  test("stateful running max across micro-batches (mapGroupsWithState)") {
+    val dir = Files.createTempDirectory("graft_stream3").toString
+    writeBatch(dir, Seq((7L, 3.0, 1000L)))
+    val q = ForecastStream.runningMax(spark, dir)
+      .writeStream.outputMode("update").format("memory").queryName("rmax").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(dir, Seq((7L, 11.0, 2000L), (8L, 1.0, 2000L)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT featureId, maxQ, n FROM rmax").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // state accumulated: feature 7 saw 2 updates, max 11
+      assert(rows.contains((7L, 11.0, 2L)))
+      assert(rows.contains((8L, 1.0, 1L)))
+    } finally q.stop()
+  }
+}
