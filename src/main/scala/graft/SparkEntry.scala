@@ -163,7 +163,127 @@ object SparkEntry {
     "q29_segments" -> ((s, _) =>
       StreamNet.segments(StreamNet.reaches(s))
         .select(col("hydroid").cast("long").as("hydroid"), col("seg").cast("int").as("seg"),
-          col("seg_start"), col("seg_end")))
+          col("seg_start"), col("seg_end"))),
+
+    // ---- relational/window coverage (§2.2-2.8) over the TPC-H tables ----
+
+    // J8 as-of/nearest-value join: per part, lineitem row with quantity
+    // closest to 25 (argmin via min(struct(...)), hash-agg, no sort)
+    "q30_asof_minby" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_partkey"))
+        .agg(min(struct(abs(col("l_quantity") - 25), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))).as("m"))
+        .select(col("l_partkey"), col("m.l_orderkey").as("best_order"),
+          col("m.l_linenumber").as("best_line"), col("m.l_quantity").as("best_qty"))
+    }),
+
+    // W3 cumulative sum with RANGE frame (ties share the value → deterministic)
+    "q31_cumsum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          sum(col("l_quantity")).over(w).as("cum_qty"))
+    }),
+
+    // J9/J10 semi + anti joins: customers with and without orders
+    "q32_semi_anti" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+      import s.implicits._
+      Seq((withO, withoutO)).toDF("n_with_orders", "n_without_orders")
+    }),
+
+    // grouping-sets rollup (free in Spark; absent in the reference — §2.4)
+    "q33_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))),
+
+    // P7 keep-largest-duplicate: per order, the max-quantity line
+    "q34_keep_largest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_quantity").desc, col("l_linenumber").asc)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // §2.7 set ops: supplier vs customer nations (except / intersect / union)
+    "q35_setops" -> ((s, dir) => {
+      val sn = s.read.parquet(s"$dir/supplier.parquet").select(col("s_nationkey").as("k")).distinct()
+      val cn = s.read.parquet(s"$dir/customer.parquet").select(col("c_nationkey").as("k")).distinct()
+      sn.except(cn).withColumn("op", lit("supplier_only"))
+        .unionByName(cn.except(sn).withColumn("op", lit("customer_only")))
+        .unionByName(sn.intersect(cn).withColumn("op", lit("both")))
+    }),
+
+    // P8 sentinel handling: nullif/coalesce round-trip (−999 convention)
+    "q36_sentinels" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(nullif(col("l_discount"), lit(0.0)), lit(-999.0)).as("disc_sentinel"),
+          nullif(col("l_discount"), lit(0.0)).isNull.cast("int").as("was_zero"))),
+
+    // event sessionization: 30-min-gap sessions per user (lag + running sum)
+    "q37_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          (col("prev_us").isNull || (col("us") - col("prev_us")) > 1800000000L).cast("int"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+    }),
+
+    // A9 pivot: per-source doc counts by language
+    "q38_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "es", "de", "fr", "zh")).count()
+        .select(col("source"),
+          coalesce(col("en"), lit(0L)).as("en"), coalesce(col("es"), lit(0L)).as("es"),
+          coalesce(col("de"), lit(0L)).as("de"), coalesce(col("fr"), lit(0L)).as("fr"),
+          coalesce(col("zh"), lit(0L)).as("zh"))),
+
+    // §2.8 scalar-function surface: string/math kernels (exact-parity forms)
+    "q39_scalar_funcs" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lpad((col("l_orderkey") % 997).cast("string"), 4, "0").as("bucket"),
+          lower(concat(col("l_returnflag"), col("l_linestatus"))).as("rf"),
+          substring(col("l_returnflag"), 1, 1).as("rf1"),
+          col("l_returnflag").startsWith("R").cast("int").as("is_r"),
+          floor(sqrt(col("l_quantity")) * 10000).cast("long").as("sqrt_q4"),
+          abs(col("l_quantity") - 25).as("absd"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))),
+
+    // A11/S11 per-HUC aggregation of the tile table (union-by-partition analog)
+    "q40_huc_rollup" -> ((s, dir) =>
+      Inundate.tiles(s, Synth.points(s, dir))
+        .groupBy(col("huc8"))
+        .agg(count(lit(1)).as("n_tiles"),
+          count(when(col("depth") > 0, 1)).as("n_wet"),
+          max(col("depth")).as("max_depth"),
+          countDistinct(col("cell")).as("n_cells"))),
+
+    // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
+    "q41_tpch_q1" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("sum_cents")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -404,6 +524,95 @@ object SparkEntry {
         |  (g.i - 1) * CAST(0.5 AS DOUBLE) AS seg_start,
         |  least(g.i * CAST(0.5 AS DOUBLE), length_km) AS seg_end
         |FROM net CROSS JOIN generate_series(1, 4) g(i)
-        |WHERE g.i <= CAST(ceil(length_km / CAST(0.5 AS DOUBLE)) AS INT)""".stripMargin)
+        |WHERE g.i <= CAST(ceil(length_km / CAST(0.5 AS DOUBLE)) AS INT)""".stripMargin),
+
+    "q30_asof_minby" ->
+      """SELECT l_partkey, l_orderkey AS best_order, l_linenumber AS best_line, l_quantity AS best_qty
+        |FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+        |        row_number() OVER (PARTITION BY l_partkey
+        |          ORDER BY abs(l_quantity - 25), l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1""".stripMargin,
+
+    "q31_cumsum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty
+        |FROM lineitem""".stripMargin,
+
+    "q32_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders""".stripMargin,
+
+    "q33_rollup" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+
+    "q34_keep_largest" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1""".stripMargin,
+
+    "q35_setops" ->
+      """SELECT k, 'supplier_only' AS op FROM
+        |  (SELECT DISTINCT s_nationkey AS k FROM supplier EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+        |UNION ALL
+        |SELECT k, 'customer_only' AS op FROM
+        |  (SELECT DISTINCT c_nationkey AS k FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT k, 'both' AS op FROM
+        |  (SELECT DISTINCT s_nationkey AS k FROM supplier INTERSECT SELECT DISTINCT c_nationkey FROM customer)""".stripMargin,
+
+    "q36_sentinels" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_discount, CAST(0.0 AS DOUBLE)), CAST(-999.0 AS DOUBLE)) AS disc_sentinel,
+        |  CASE WHEN nullif(l_discount, CAST(0.0 AS DOUBLE)) IS NULL THEN 1 ELSE 0 END AS was_zero
+        |FROM lineitem""".stripMargin,
+
+    "q37_sessionize" ->
+      """SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+        |FROM (SELECT user_id,
+        |        CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM (SELECT user_id, ts,
+        |              lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |            FROM events))
+        |GROUP BY user_id""".stripMargin,
+
+    "q38_pivot" ->
+      """SELECT source,
+        |  count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+        |  count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+        |  count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+        |  count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+        |  count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q39_scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  lpad(CAST(l_orderkey % 997 AS VARCHAR), 4, '0') AS bucket,
+        |  lower(l_returnflag || l_linestatus) AS rf,
+        |  substring(l_returnflag, 1, 1) AS rf1,
+        |  CASE WHEN l_returnflag LIKE 'R%' THEN 1 ELSE 0 END AS is_r,
+        |  CAST(floor(sqrt(l_quantity) * 10000) AS BIGINT) AS sqrt_q4,
+        |  abs(l_quantity - 25) AS absd,
+        |  CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+        |FROM lineitem""".stripMargin,
+
+    "q40_huc_rollup" -> withCtes(pts, asg, ht, fc, stg, til)(
+      s"""SELECT $huc8FromHydroid AS huc8, count(*) AS n_tiles,
+         |  count(CASE WHEN depth > 0 THEN 1 END) AS n_wet,
+         |  max(depth) AS max_depth,
+         |  count(DISTINCT cell) AS n_cells
+         |FROM til GROUP BY 1""".stripMargin),
+
+    "q41_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n, sum(l_quantity) / count(*) AS avg_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.Dataset
+import graft.SparkTestBase
+import graft.synth.Synth
+
+/** Physical-plan quality gates — the 100 TB design assertions (SURVEY.md §4).
+  * These lock in the plan shape, not just the results: the PIP join must stay
+  * a broadcast-hash join (zero fact-side shuffle), scans must push filters
+  * and prune columns, and the hot path must stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def physical(df: Dataset[_]): String = {
+    df.collect() // execute THIS plan so AQE finalizes it (isFinalPlan=true)
+    // keep only the final AQE plan (the string also embeds the initial plan)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("PIP spatial join is broadcast-hash (fact side never shuffles)") {
+    val plan = physical(graft.ops.SpatialJoin.assign(spark, Synth.points(spark, sf0001)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "PIP join degraded to SMJ:\n" + plan.take(2000))
+  }
+
+  test("flagship tiles plan: both dimension joins broadcast; single codegen pipeline") {
+    val tiles = Inundate.tiles(spark, Synth.points(spark, sf0001))
+    val plan = physical(tiles)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2)
+    assert(!plan.contains("SortMergeJoin"))
+    // whole-stage codegen spans appear as "*(n)" markers in the final plan
+    assert("""\*\(\d+\) BroadcastHashJoin""".r.findFirstIn(plan).isDefined, plan.take(1500))
+  }
+
+  test("column pruning reaches the parquet scan (2-col projection reads 2 cols)") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .filter(col("l_quantity") > 30)
+    val plan = physical(df)
+    val scanLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("l_orderkey") && scanLine.contains("l_quantity"))
+    assert(!scanLine.contains("l_extendedprice"), scanLine)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"))
+  }
+
+  test("mosaic aggregation does partial (map-side) aggregation before the shuffle") {
+    val plan = physical(Inundate.run(spark, sf0001))
+    // two HashAggregates (partial + final) around one exchange on the cell key
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("salted agg adds no extra shuffle vs its logical intent (2 stages, AQE-coalesced)") {
+    val pts = Synth.points(spark, sf0001)
+    val salted = graft.ops.SaltedAgg.countAndMax(pts, col("ccell"), col("pid"), col("hand"), 32)
+    val plan = physical(salted)
+    // stage 1 partial by (k, salt), stage 2 final by k — exactly 2 exchanges max
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan.take(2000))
+  }
+
+  test("PointInPolygon expression participates in codegen (no CodegenFallback wrapper)") {
+    val df = graft.ops.SpatialJoin.assign(spark, Synth.points(spark, sf0001))
+    val plan = physical(df)
+    // st_contains is fused into the codegen'd broadcast join itself
+    assert("""\*\(\d+\) BroadcastHashJoin .*st_contains""".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+  }
+}
