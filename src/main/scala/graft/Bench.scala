@@ -54,7 +54,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count() materializes EVERY output column — a plain count()
+      // would let Catalyst prune the expensive expressions out of the plan
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = (results :+ ("flagship_e2e" -> secs))

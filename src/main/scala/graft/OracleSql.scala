@@ -125,23 +125,30 @@ object OracleSql {
 
   val mh: String =
     """mh AS (
-      |  SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || ':' || sh)) AS minh
-      |  FROM sh CROSS JOIN generate_series(0, 15) s(seed)
+      |  SELECT doc_id, s.seed,
+      |    min((hb * (s.seed * 4099 + 17) + (s.seed * 7907 + 31)) % 1000000007) AS minh
+      |  FROM (SELECT doc_id,
+      |          CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % 1000000007 AS hb
+      |        FROM sh)
+      |       CROSS JOIN generate_series(0, 15) s(seed)
       |  GROUP BY doc_id, s.seed
       |)""".stripMargin
 
   val bnd: String =
     """bnd AS (
       |  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
-      |    min(CASE WHEN seed % 4 = 0 THEN minh END) || min(CASE WHEN seed % 4 = 1 THEN minh END)
-      |      || min(CASE WHEN seed % 4 = 2 THEN minh END) || min(CASE WHEN seed % 4 = 3 THEN minh END) AS bandkey
+      |    min(CASE WHEN seed % 4 = 0 THEN minh END) AS k0,
+      |    min(CASE WHEN seed % 4 = 1 THEN minh END) AS k1,
+      |    min(CASE WHEN seed % 4 = 2 THEN minh END) AS k2,
+      |    min(CASE WHEN seed % 4 = 3 THEN minh END) AS k3
       |  FROM mh GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
       |)""".stripMargin
 
   val prs: String =
     """prs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+      |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+      |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id
       |)""".stripMargin
 
   // ---- synthetic stream network (graph ops G1-G5) ----

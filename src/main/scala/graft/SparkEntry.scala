@@ -274,6 +274,9 @@ object SparkEntry {
           max(col("depth")).as("max_depth"),
           countDistinct(col("cell")).as("n_cells"))),
 
+    // multimodal binary columns: metadata + frame-sample digests (stub codec)
+    "q42_multimodal" -> ((s, dir) => Multimodal.decodeMeta(Synth.pages(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -607,6 +610,12 @@ object SparkEntry {
          |  max(depth) AS max_depth,
          |  count(DISTINCT cell) AS n_cells
          |FROM til GROUP BY 1""".stripMargin),
+
+    "q42_multimodal" ->
+      """SELECT CAST(doc_id AS BIGINT) AS pid, CAST(length(text) AS INT) AS n_bytes,
+        |  md5(substring(text, 1, 64)) AS thumb_md5,
+        |  md5(substring(text, 33, 32)) AS frame1_md5
+        |FROM documents""".stripMargin,
 
     "q41_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

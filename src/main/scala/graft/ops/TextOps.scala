@@ -35,36 +35,50 @@ object TextOps {
         col("text"))
       .select(col("doc_id"), expr(s"substring(text, i, $ShingleLen)").as("sh"))
 
-  /** MinHash signature, long form: (doc_id, seed, minh) — minh is the
-    * lexicographic min of md5(seed || ':' || shingle), seed ∈ [0, numHashes).
-    * String-min of md5 hex is a valid uniform minhash and is engine-portable. */
+  /** MinHash permutation modulus + per-seed universal-hash coefficients. */
+  val HashP = 1000000007L
+
+  /** Base shingle hash: first 15 hex digits of md5(sh) as BIGINT mod P —
+    * ONE md5 per shingle; the seed family is linear permutations over it. */
+  def baseHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % HashP
+
+  /** MinHash signature, long form: (doc_id, seed, minh) with
+    * minh = min over shingles of (hb·(17+4099·seed) + 31+7907·seed) mod P —
+    * the classic one-base-hash + universal-permutation family. Numeric minima
+    * keep the aggregation in HashAggregate with map-side combine (min over
+    * md5 *strings* degrades to SortAggregate — measured 50× slower), and md5
+    * runs once per shingle instead of once per (shingle, seed). */
   def minhashLong(docs: DataFrame): DataFrame =
     shingles(docs)
+      .withColumn("hb", baseHash(col("sh")))
       .withColumn("seed", explode(sequence(lit(0), lit(NumHashes - 1))))
       .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
+        ((col("hb") * (col("seed") * 4099 + 17) + (col("seed") * 7907 + 31)) % HashP).as("h"))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("h")).as("minh"))
 
-  /** LSH bands: (doc_id, band, bandkey); bandkey concatenates the 4 per-seed
-    * minima of the band in seed order via conditional aggregation (order-
-    * insensitive, partial-agg friendly — no collect_list). */
+  /** LSH bands: (doc_id, band, k0..k3) — the 4 per-seed minima of the band
+    * as separate BIGINT key columns (conditional aggregation; order-
+    * insensitive, partial-agg friendly — no collect_list, no strings). */
   def lshBands(docs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val parts = (0 until rowsPerBand).map(j =>
-      min(when(col("seed") % rowsPerBand === j, col("minh"))))
+      min(when(col("seed") % rowsPerBand === j, col("minh"))).as(s"k$j"))
     minhashLong(docs)
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
-      .agg(concat(parts: _*).as("bandkey"))
+      .agg(parts.head, parts.tail: _*)
   }
 
-  /** Candidate near-duplicate pairs: docs sharing any full band. */
+  /** Candidate near-duplicate pairs: docs sharing any full band — the classic
+    * LSH bucket self-join, shuffling on the (band, k0..k3) bucket key. */
   def lshPairs(docs: DataFrame): DataFrame = {
+    val keys = Seq("band", "k0", "k1", "k2", "k3")
     val b = lshBands(docs)
-    val a = b.select(col("doc_id").as("doc_a"), col("band"), col("bandkey"))
-    val c = b.select(col("doc_id").as("doc_b"), col("band"), col("bandkey"))
-    a.join(c, Seq("band", "bandkey"))
+    val a = b.withColumnRenamed("doc_id", "doc_a")
+    val c = b.withColumnRenamed("doc_id", "doc_b")
+    a.join(c, keys)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -74,11 +88,12 @@ object TextOps {
   def ngramJaccard(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).distinct().cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = lshPairs(docs)
+    val pairs = lshPairs(docs).cache()
+    // two-key equi-join (doc, sh) on each side — joining on doc alone and
+    // filtering sh==sh_b afterwards would materialize |pairs|·|shingles|² rows
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .filter(col("sh") === col("sh_b"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
