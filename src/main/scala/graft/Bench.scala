@@ -23,15 +23,32 @@ object Bench {
         .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
         .select((col("pid0") + col("j") * 50000000L).as("pid")))
 
-  /** One flagship end-to-end run; returns (rows processed, seconds). */
+  /** One flagship end-to-end run; returns (rows processed, seconds).
+    * Single action: the contingency counts and the processed-page total come
+    * out of ONE aggregate over the mosaic (no recomputation). */
   def flagship(spark: SparkSession, sfDir: String, m: Int, parts: Int): (Long, Double) = {
     val t0 = System.nanoTime()
     val pts = scaledPoints(spark, sfDir, m, parts)
+    if (sys.env.get("SPARK_GRAFT_STAGE").contains("tiles")) {
+      // shuffle-free variant (diagnosis): stop before the mosaic exchange
+      val row = Inundate.tiles(spark, pts)
+        .agg(count(lit(1)).as("n"), sum(col("depth")).as("s")).collect()(0)
+      return (row.getLong(0), (System.nanoTime() - t0) / 1e9)
+    }
     val mosaic = Inundate.mosaic(Inundate.tiles(spark, pts))
-    val metrics = Agreement.metrics(Agreement.agreement(mosaic))
-    val nTiles = mosaic.agg(sum(col("n_points"))).collect()(0).getLong(0)
-    metrics.collect()
-    (nTiles, (System.nanoTime() - t0) / 1e9)
+    val agr = mosaic.select(
+      when(Agreement.isMasked(col("cell")), lit(4))
+        .otherwise((col("depth_max") > 0).cast("int") * 2 + Agreement.benchWet(col("cell")))
+        .as("agreement"),
+      col("n_points"))
+    val row = agr.agg(
+      count(when(col("agreement") === 0, 1)).as("tn"),
+      count(when(col("agreement") === 1, 1)).as("fn"),
+      count(when(col("agreement") === 2, 1)).as("fp"),
+      count(when(col("agreement") === 3, 1)).as("tp"),
+      count(when(col("agreement") === 4, 1)).as("masked"),
+      sum(col("n_points")).as("n_pages")).collect()(0)
+    (row.getLong(5), (System.nanoTime() - t0) / 1e9)
   }
 
   def main(args: Array[String]): Unit = {

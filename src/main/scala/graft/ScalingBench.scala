@@ -29,13 +29,15 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
-    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "8").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "256").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
 
     def measure(cores: Int): (Long, Double) = {
       val spark = session(cores)
       try {
-        Bench.flagship(spark, "/root/testdata/sf0.001", 1, cores) // warm-up
+        // warm-up with the SAME multiplier (identical codegen source → the
+        // measured runs hit the compiled-class cache) on the tiny sf
+        Bench.flagship(spark, "/root/testdata/sf0.001", mult, cores)
         val runs = (1 to reps).map(_ => Bench.flagship(spark, sfDir, mult, cores * 3))
         (runs.head._1, runs.map(_._2).min) // best-of-reps
       } finally spark.stop()

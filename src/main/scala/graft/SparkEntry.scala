@@ -277,6 +277,31 @@ object SparkEntry {
     // multimodal binary columns: metadata + frame-sample digests (stub codec)
     "q42_multimodal" -> ((s, dir) => Multimodal.decodeMeta(Synth.pages(s, dir))),
 
+    // G6 short-reach rating graft: donor selection by join rule
+    "q43_rating_graft" -> ((s, _) =>
+      StreamNet.ratingGraft(StreamNet.reaches(s))
+        .select(col("hydroid").cast("long").as("hydroid"), col("length_km"),
+          col("donor_id").cast("long").as("donor_id"))),
+
+    // G8 waterbody walk: follow downstream until out of the lake set
+    "q44_waterbody_walk" -> ((s, _) =>
+      StreamNet.waterbodyExit(s, StreamNet.reaches(s))
+        .select(col("huc8"), col("hydroid").cast("long").as("hydroid"),
+          col("exit_node").cast("long").as("exit_node"))),
+
+    // J12 interval membership: CatFIM stage-threshold categories
+    "q45_catfim" -> ((s, _) => {
+      val stg = RatingInterp.stages(Synth.hydrotable(s), Synth.forecast(s))
+      stg.select(col("hydroid"), col("stage_m"),
+        (lit(1.0) + (col("hydroid") % 4) * lit(0.5)).as("t_action"))
+        .withColumn("category",
+          when(col("stage_m") >= col("t_action") + 2.5, lit("major"))
+            .when(col("stage_m") >= col("t_action") + 1.0, lit("moderate"))
+            .when(col("stage_m") >= col("t_action"), lit("action"))
+            .otherwise(lit("none")))
+        .select(col("hydroid"), col("stage_m"), col("category"))
+    }),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -616,6 +641,32 @@ object SparkEntry {
         |  md5(substring(text, 1, 64)) AS thumb_md5,
         |  md5(substring(text, 33, 32)) AS frame1_md5
         |FROM documents""".stripMargin,
+
+    "q43_rating_graft" -> withCtes(net)(
+      """SELECT hydroid, length_km,
+        |  CASE WHEN length_km < CAST(1.25 AS DOUBLE) AND to_node >= 0 THEN to_node
+        |       ELSE hydroid END AS donor_id
+        |FROM net""".stripMargin),
+
+    "q44_waterbody_walk" -> withRecursiveCtes(net,
+      """wb AS (
+        |  SELECT hydroid, huc8, to_node AS cur FROM net WHERE hydroid % 97 = 0
+        |  UNION ALL
+        |  SELECT wb.hydroid, wb.huc8, n.to_node AS cur
+        |  FROM wb JOIN net n ON wb.cur = n.hydroid
+        |  WHERE wb.cur >= 0 AND wb.cur % 97 = 0
+        |)""".stripMargin)(
+      "SELECT huc8, hydroid, cur AS exit_node FROM wb WHERE cur < 0 OR cur % 97 <> 0"),
+
+    "q45_catfim" -> withCtes(ht, fc, stg)(
+      """SELECT hydroid, stage_m,
+        |  CASE WHEN stage_m >= t_action + CAST(2.5 AS DOUBLE) THEN 'major'
+        |       WHEN stage_m >= t_action + CAST(1.0 AS DOUBLE) THEN 'moderate'
+        |       WHEN stage_m >= t_action THEN 'action'
+        |       ELSE 'none' END AS category
+        |FROM (SELECT hydroid, stage_m,
+        |        CAST(1.0 AS DOUBLE) + (hydroid % 4) * CAST(0.5 AS DOUBLE) AS t_action
+        |      FROM stg)""".stripMargin),
 
     "q41_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -115,6 +115,36 @@ object StreamNet {
     rs.map(r => r.hydroid -> arbo(r.hydroid)).toMap
   }
 
+  /** G6: short-reach rating graft — reaches shorter than `minLen` km take
+    * their rating curve from a donor: the downstream reach when one exists,
+    * else themselves (`src/add_crosswalk.py:110-318`, simplified to the
+    * deterministic donor rule; selection is a join, not iteration). */
+  def ratingGraft(reachesDf: DataFrame, minLen: Double = 1.25): DataFrame =
+    reachesDf.select(col("hydroid"), col("length_km"), col("to_node"))
+      .withColumn("donor_id",
+        when(col("length_km") < minLen && col("to_node") >= 0, col("to_node"))
+          .otherwise(col("hydroid")))
+
+  /** G8: waterbody walk — from each lake reach (hydroid % 97 == 0), follow
+    * `to_node` downstream until the first non-lake reach (or the outlet);
+    * per-HUC in-memory walk, same kernel family as arbolate/level-path. */
+  def waterbodyExit(spark: SparkSession, reachesDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    reachesDf.select(col("huc8"), col("hydroid"), col("to_node"))
+      .as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (huc, it) =>
+        val rs = it.map(t => (t._2, t._3)).toMap
+        def isLake(h: Int) = h % 97 == 0
+        rs.keysIterator.filter(isLake).toSeq.sorted.iterator.map { h =>
+          var cur = h
+          while (cur >= 0 && isLake(cur)) cur = rs.getOrElse(cur, -1)
+          (huc, h, cur) // -1 = exited at outlet while still in waterbody
+        }
+      }
+      .toDF("huc8", "hydroid", "exit_node")
+  }
+
   /** W3/§2.10 #5: split each reach into ≤0.5 km segments — the
     * `split_flows.py:310-357` cumulative-length splitter as a generator
     * (explode over a sequence expression; no UDTF needed). */
