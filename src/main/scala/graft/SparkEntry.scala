@@ -289,6 +289,10 @@ object SparkEntry {
         .select(col("huc8"), col("hydroid").cast("long").as("hydroid"),
           col("exit_node").cast("long").as("exit_node"))),
 
+    // P2 error taxonomy: per-unit status codes (60/64/0) as data rows
+    "q46_unit_status" -> ((s, dir) =>
+      Inundate.unitStatus(s, Synth.points(s, dir))),
+
     // J12 interval membership: CatFIM stage-threshold categories
     "q45_catfim" -> ((s, _) => {
       val stg = RatingInterp.stages(Synth.hydrotable(s), Synth.forecast(s))
@@ -657,6 +661,20 @@ object SparkEntry {
         |  WHERE wb.cur >= 0 AND wb.cur % 97 = 0
         |)""".stripMargin)(
       "SELECT huc8, hydroid, cur AS exit_node FROM wb WHERE cur < 0 OR cur % 97 <> 0"),
+
+    "q46_unit_status" -> withCtes(pts, asg,
+      """hagg AS (
+        |  SELECT lpad(CAST(CAST(floor(floor(hydroid / 144) / 8) * 18 + floor((hydroid % 144) / 8) AS BIGINT) AS VARCHAR), 8, '0') AS huc8,
+        |    count(*) AS n_pts,
+        |    count(CASE WHEN hydroid % 97 <> 0 THEN 1 END) AS n_ok
+        |  FROM asg GROUP BY 1
+        |)""".stripMargin)(
+      """SELECT u.huc8,
+        |  CAST(CASE WHEN a.huc8 IS NULL THEN 60 WHEN a.n_ok = 0 THEN 64 ELSE 0 END AS INT) AS status,
+        |  coalesce(a.n_pts, 0) AS n_pts, coalesce(a.n_ok, 0) AS n_ok
+        |FROM (SELECT lpad(CAST(x.x * 18 + y.x AS VARCHAR), 8, '0') AS huc8
+        |      FROM generate_series(0, 17) x(x), generate_series(0, 17) y(x)) u
+        |LEFT JOIN hagg a ON u.huc8 = a.huc8""".stripMargin),
 
     "q45_catfim" -> withCtes(ht, fc, stg)(
       """SELECT hydroid, stage_m,

@@ -46,6 +46,13 @@ object RatingInterp {
       .groupBy(col("hydroid"))
       .agg(stageExpr.as("stage_m"))
 
+  /** np.round(x, 4)-faithful rounding (`tools/inundation.py:675`): numpy
+    * scales by 10⁴, rints half-even on the resulting double (fp-multiply
+    * artifacts included), and divides — `bround(x*10⁴, 0)/10⁴` reproduces
+    * that exactly, where a plain `bround(x, 4)` (decimal-exact half-even)
+    * would differ on tie-adjacent doubles like 1.23455. */
+  def npRound4(c: Column): Column = bround(c * lit(10000.0), 0) / lit(10000.0)
+
   // ---- typed Aggregator cross-check (np.interp faithful) ----
 
   final case class Knot(stage: Double, q: Double, fq: Double)

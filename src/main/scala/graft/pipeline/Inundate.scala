@@ -45,4 +45,27 @@ object Inundate {
 
   def run(spark: SparkSession, sfDir: String): DataFrame =
     mosaic(tiles(spark, Synth.points(spark, sfDir)))
+
+  /** Per-unit status table — the engine's form of the reference's exit-code
+    * taxonomy (`src/utils/fim_enums.py`; see [[graft.model.GraftStatus]]):
+    * a HUC with no pages → UNIT_NO_BRANCHES(60); pages but only lake
+    * catchments → NO_VALID_CROSSWALKS(64); else Success(0). Failed units
+    * become rows, not job failures (the reference's GNU-parallel process
+    * boundary becomes a status column). */
+  def unitStatus(spark: SparkSession, points: DataFrame): DataFrame = {
+    import graft.model.GraftStatus._
+    val universe = spark.range(0, 18L * 18L)
+      .select(lpad(col("id").cast("string"), 8, "0").as("huc8"))
+    val agg = graft.ops.SpatialJoin.assign(spark, points)
+      .groupBy(col("huc8"))
+      .agg(count(lit(1)).as("n_pts"),
+        count(when(col("hydroid") % 97 =!= 0, 1)).as("n_ok"))
+    universe.join(agg, Seq("huc8"), "left")
+      .select(col("huc8"),
+        when(col("n_pts").isNull, lit(UnitNoBranches.id))
+          .when(col("n_ok") === 0, lit(NoValidCrosswalks.id))
+          .otherwise(lit(Success.id)).cast("int").as("status"),
+        coalesce(col("n_pts"), lit(0L)).as("n_pts"),
+        coalesce(col("n_ok"), lit(0L)).as("n_ok"))
+  }
 }

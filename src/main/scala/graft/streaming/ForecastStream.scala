@@ -39,6 +39,26 @@ object ForecastStream {
       }
       .start()
 
+  val pageSchema: StructType = StructType(Seq(
+    StructField("pid", LongType), StructField("event_ts", TimestampType)))
+
+  /** Streaming tiles: a stream of page ids is geocoded, PIP-assigned against
+    * the broadcast catchment set, classified against precomputed stages, and
+    * aggregated to watermarked per-window wet/dry counts — the incremental
+    * form of the flagship batch query (same operators, streaming source). */
+  def streamingTiles(spark: SparkSession, dir: String,
+      stages: DataFrame): DataFrame = {
+    val pages = spark.readStream.schema(pageSchema).parquet(dir)
+    val assigned = graft.ops.SpatialJoin.assign(spark,
+      graft.synth.Synth.withGeo(pages))
+    assigned
+      .join(org.apache.spark.sql.functions.broadcast(stages), "hydroid")
+      .withColumn("wet", (col("stage_m") - col("hand") > 0).cast("int"))
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "5 minutes"), col("huc8"))
+      .agg(count(lit(1)).as("n_pages"), sum(col("wet")).as("n_wet"))
+  }
+
   final case class FeatureState(featureId: Long, maxQ: Double, n: Long)
 
   /** Stateful running max discharge per feature across all micro-batches

@@ -51,6 +51,26 @@ class ForecastStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming tiles: pages stream → PIP assign → windowed wet counts") {
+    val dir = Files.createTempDirectory("graft_stream4").toString
+    import spark.implicits._
+    Seq((8L, 1000L), (16L, 1100L), (24L, 1400L))
+      .toDF("pid", "secs")
+      .select(col("pid"), timestamp_seconds(col("secs")).as("event_ts"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stages = graft.ops.RatingInterp.stages(
+      Synth.hydrotable(spark), Synth.forecast(spark))
+    val q = ForecastStream.streamingTiles(spark, dir, stages)
+      .writeStream.outputMode("complete").format("memory").queryName("stiles").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT huc8, n_pages, n_wet FROM stiles").collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getLong(1)).sum >= 1) // lake pids may drop
+      rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    } finally q.stop()
+  }
+
   test("stateful running max across micro-batches (mapGroupsWithState)") {
     val dir = Files.createTempDirectory("graft_stream3").toString
     writeBatch(dir, Seq((7L, 3.0, 1000L)))
