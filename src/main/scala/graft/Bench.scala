@@ -54,7 +54,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "8").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "64").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -289,6 +289,12 @@ object SparkEntry {
         .select(col("huc8"), col("hydroid").cast("long").as("hydroid"),
           col("exit_node").cast("long").as("exit_node"))),
 
+    // J5 conflation: per-catchment gage by majority vote of member points
+    "q47_knn_mode" -> ((s, dir) => {
+      val pts = Synth.points(s, dir)
+      KnnJoin.modeConflation(SpatialJoin.assign(s, pts), KnnJoin.nearestGage(s, pts))
+    }),
+
     // P2 error taxonomy: per-unit status codes (60/64/0) as data rows
     "q46_unit_status" -> ((s, dir) =>
       Inundate.unitStatus(s, Synth.points(s, dir))),
@@ -414,12 +420,13 @@ object SparkEntry {
     "q15_lsh_pairs" -> withCtes(corpus, sh, mh, bnd, prs)("SELECT doc_a, doc_b FROM prs"),
 
     "q16_jaccard" -> withCtes(corpus, sh, mh, bnd, prs,
-      "dsh AS (SELECT DISTINCT doc_id, sh FROM sh)",
+      """dsh AS (SELECT DISTINCT doc_id,
+        |  CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS hb FROM sh)""".stripMargin,
       "sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id)",
       """inter AS (
         |  SELECT p2.doc_a, p2.doc_b, count(*) AS i
         |  FROM prs p2 JOIN dsh a ON p2.doc_a = a.doc_id
-        |  JOIN dsh b ON p2.doc_b = b.doc_id AND a.sh = b.sh
+        |  JOIN dsh b ON p2.doc_b = b.doc_id AND a.hb = b.hb
         |  GROUP BY p2.doc_a, p2.doc_b
         |)""".stripMargin)(
       """SELECT p.doc_a, p.doc_b,
@@ -661,6 +668,39 @@ object SparkEntry {
         |  WHERE wb.cur >= 0 AND wb.cur % 97 = 0
         |)""".stripMargin)(
       "SELECT huc8, hydroid, cur AS exit_node FROM wb WHERE cur < 0 OR cur % 97 <> 0"),
+
+    "q47_knn_mode" -> withCtes(pts, asg,
+      """gc AS (
+        |  SELECT hydroid,
+        |    (CAST(floor(hydroid / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |      - CAST(90.0 AS DOUBLE) AS lat_c,
+        |    ((hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE)
+        |      - CAST(180.0 AS DOUBLE) AS lng_c
+        |  FROM (SELECT 199 * x AS hydroid FROM generate_series(0, 104) t(x))
+        |)""".stripMargin,
+      """d AS (
+        |  SELECT p.pid, gc.hydroid,
+        |    (p.lat - gc.lat_c) * (p.lat - gc.lat_c) + (p.lng - gc.lng_c) * (p.lng - gc.lng_c) AS d2
+        |  FROM (SELECT DISTINCT pid, lat, lng FROM pts) p CROSS JOIN gc
+        |  WHERE (p.lat - gc.lat_c) * (p.lat - gc.lat_c) + (p.lng - gc.lng_c) * (p.lng - gc.lng_c) <= 25.0
+        |)""".stripMargin,
+      "m AS (SELECT pid, min(d2) AS md FROM d GROUP BY pid)",
+      """nnf AS (
+        |  SELECT d.pid, min(d.hydroid) AS nn
+        |  FROM d JOIN m ON d.pid = m.pid AND d.d2 = m.md GROUP BY d.pid
+        |)""".stripMargin,
+      """votes AS (
+        |  SELECT a.hydroid, n.nn, count(*) AS votes
+        |  FROM asg a JOIN nnf n ON a.pid = n.pid GROUP BY a.hydroid, n.nn
+        |)""".stripMargin,
+      """tot AS (
+        |  SELECT hydroid, max(votes) AS mx, CAST(sum(votes) AS BIGINT) AS n_votes
+        |  FROM votes GROUP BY hydroid
+        |)""".stripMargin)(
+      """SELECT v.hydroid, min(CASE WHEN v.votes = t.mx THEN v.nn END) AS gage_mode,
+        |  t.mx AS mode_votes, t.n_votes
+        |FROM votes v JOIN tot t ON v.hydroid = t.hydroid
+        |GROUP BY v.hydroid, t.mx, t.n_votes""".stripMargin),
 
     "q46_unit_status" -> withCtes(pts, asg,
       """hagg AS (

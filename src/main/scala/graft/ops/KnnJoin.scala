@@ -65,6 +65,20 @@ object KnnJoin {
     filter(array(cells: _*), c => c.isNotNull)
   }
 
+  /** J5 conflation: per-catchment gage assignment by majority vote of its
+    * member points' nearest gages (`src/stream_branches.py:1266-1312` —
+    * mode of per-point matches, deterministic tie-break by smaller gage id). */
+  def modeConflation(assigned: DataFrame, nn: DataFrame): DataFrame =
+    assigned.select(col("pid"), col("hydroid"))
+      .join(nn.filter(col("nn_hydroid").isNotNull), "pid")
+      .groupBy(col("hydroid").cast("long").as("hydroid"), col("nn_hydroid"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("hydroid"))
+      .agg(max(struct(col("votes").as("votes"), (-col("nn_hydroid")).as("neg_nn"))).as("m"),
+        sum(col("votes")).as("n_votes"))
+      .select(col("hydroid"), (-col("m.neg_nn")).cast("long").as("gage_mode"),
+        col("m.votes").as("mode_votes"), col("n_votes"))
+
   /** Points → nearest gage-catchment centroid (the synthetic gage set). */
   def nearestGage(spark: SparkSession, points: DataFrame): DataFrame = {
     import spark.implicits._

@@ -38,37 +38,50 @@ object TextOps {
   /** MinHash permutation modulus + per-seed universal-hash coefficients. */
   val HashP = 1000000007L
 
-  /** Base shingle hash: first 15 hex digits of md5(sh) as BIGINT mod P —
-    * ONE md5 per shingle; the seed family is linear permutations over it. */
-  def baseHash(sh: Column): Column =
-    conv(substring(md5(sh), 1, 15), 16, 10).cast("long") % HashP
+  /** Raw 60-bit shingle hash: first 15 hex digits of md5(sh) as BIGINT. */
+  def baseHash60(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature, long form: (doc_id, seed, minh) with
-    * minh = min over shingles of (hb·(17+4099·seed) + 31+7907·seed) mod P —
-    * the classic one-base-hash + universal-permutation family. Numeric minima
-    * keep the aggregation in HashAggregate with map-side combine (min over
-    * md5 *strings* degrades to SortAggregate — measured 50× slower), and md5
-    * runs once per shingle instead of once per (shingle, seed). */
-  def minhashLong(docs: DataFrame): DataFrame =
+  /** Base shingle hash mod P — ONE md5 per shingle; the seed family is
+    * linear permutations over it. */
+  def baseHash(sh: Column): Column = baseHash60(sh) % HashP
+
+  /** Wide MinHash signature: (doc_id, m0..m15) with
+    * m_k = min over shingles of (hb·(17+4099·k) + 31+7907·k) mod P — the
+    * classic one-base-hash + universal-permutation family, computed as 16
+    * aggregate expressions in ONE pass over the shingles (no seed explode —
+    * 16× fewer aggregated rows, one shuffle for the whole signature).
+    * Numeric minima keep the aggregation in HashAggregate with map-side
+    * combine (min over md5 *strings* degrades to SortAggregate — measured
+    * 50× slower), and md5 runs once per shingle. */
+  def minhashWide(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(k =>
+      min((col("hb") * lit(k * 4099 + 17) + lit(k * 7907 + 31)) % HashP).as(s"m$k"))
     shingles(docs)
       .withColumn("hb", baseHash(col("sh")))
-      .withColumn("seed", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .select(col("doc_id"), col("seed"),
-        ((col("hb") * (col("seed") * 4099 + 17) + (col("seed") * 7907 + 31)) % HashP).as("h"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("minh"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH bands: (doc_id, band, k0..k3) — the 4 per-seed minima of the band
-    * as separate BIGINT key columns (conditional aggregation; order-
-    * insensitive, partial-agg friendly — no collect_list, no strings). */
+  /** Long form (doc_id, seed, minh) — unpivot of the wide signature. */
+  def minhashLong(docs: DataFrame): DataFrame = {
+    val stackArgs = (0 until NumHashes).flatMap(k => Seq(s"$k", s"m$k")).mkString(", ")
+    minhashWide(docs)
+      .select(col("doc_id"),
+        expr(s"stack(${NumHashes}, $stackArgs) AS (seed, minh)"))
+      .select(col("doc_id"), col("seed").cast("int").as("seed"), col("minh"))
+  }
+
+  /** LSH bands: (doc_id, band, k0..k3) — unpivot of the wide signature into
+    * one row per band with the 4 per-seed minima as BIGINT key columns. */
   def lshBands(docs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
-    val parts = (0 until rowsPerBand).map(j =>
-      min(when(col("seed") % rowsPerBand === j, col("minh"))).as(s"k$j"))
-    minhashLong(docs)
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(parts.head, parts.tail: _*)
+    val stackArgs = (0 until NumBands).flatMap(b =>
+      s"$b" +: (0 until rowsPerBand).map(j => s"m${b * rowsPerBand + j}")).mkString(", ")
+    minhashWide(docs)
+      .select(col("doc_id"),
+        expr(s"stack($NumBands, $stackArgs) AS (band, k0, k1, k2, k3)"))
+      .withColumn("band", col("band").cast("int"))
   }
 
   /** Candidate near-duplicate pairs: docs sharing any full band — the classic
@@ -86,14 +99,17 @@ object TextOps {
   /** Exact n-gram Jaccard for the LSH candidate pairs (verification stage of
     * the dedup pipeline): |A∩B| / |A∪B| over distinct shingle sets. */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).distinct().cache()
+    // distinct 60-bit shingle hashes instead of the strings: 8-byte join keys
+    // (collision odds ~n²/2⁶¹ — negligible, and mirrored in the oracle)
+    val sh = shingles(docs).select(col("doc_id"), baseHash60(col("sh")).as("hb"))
+      .distinct().cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = lshPairs(docs).cache()
-    // two-key equi-join (doc, sh) on each side — joining on doc alone and
-    // filtering sh==sh_b afterwards would materialize |pairs|·|shingles|² rows
+    // two-key equi-join (doc, hb) on each side — joining on doc alone and
+    // filtering equality afterwards would materialize |pairs|·|shingles|² rows
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
