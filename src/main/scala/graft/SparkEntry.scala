@@ -289,6 +289,20 @@ object SparkEntry {
         .select(col("huc8"), col("hydroid").cast("long").as("hydroid"),
           col("exit_node").cast("long").as("exit_node"))),
 
+    // S6 point sampling: lookup join of gage points into the cell table
+    // (window sample at CoarseRes — the masked-window read analog)
+    "q48_point_sample" -> ((s, dir) => {
+      import s.implicits._
+      val gageCells = Synth.catchmentList.filter(c => Synth.isGage(c.hydroid))
+        .map(c => (c.hydroid.toLong,
+          graft.geo.Cells.latLngToCell(c.lat_c, c.lng_c, graft.geo.Cells.CoarseRes)))
+        .toDF("gage_id", "ccell")
+      Synth.points(s, dir)
+        .join(broadcast(gageCells), "ccell") // sample the raster around gages
+        .groupBy(col("gage_id"))
+        .agg(min(col("hand")).as("hand_min"), count(lit(1)).as("n_samples"))
+    }),
+
     // J5 conflation: per-catchment gage by majority vote of member points
     "q47_knn_mode" -> ((s, dir) => {
       val pts = Synth.points(s, dir)
@@ -668,6 +682,30 @@ object SparkEntry {
         |  WHERE wb.cur >= 0 AND wb.cur % 97 = 0
         |)""".stripMargin)(
       "SELECT huc8, hydroid, cur AS exit_node FROM wb WHERE cur < 0 OR cur % 97 <> 0"),
+
+    "q48_point_sample" -> withCtes(pts, asg,
+      """gc AS (
+        |  SELECT hydroid,
+        |    (CAST(floor(hydroid / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |      - CAST(90.0 AS DOUBLE) AS lat_c,
+        |    ((hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE)
+        |      - CAST(180.0 AS DOUBLE) AS lng_c
+        |  FROM (SELECT 199 * x AS hydroid FROM generate_series(0, 104) t(x))
+        |)""".stripMargin,
+      """g48 AS (
+        |  SELECT hydroid AS gage_id,
+        |    5 * 72057594037927936
+        |      + CAST(floor((lat_c + 90.0) / 180.0 * 32.0) AS BIGINT) * 268435456
+        |      + CAST(floor((lng_c + 180.0) / 360.0 * 64.0) AS BIGINT) AS ccell
+        |  FROM gc
+        |)""".stripMargin)(
+      """SELECT g.gage_id, min(p.hand) AS hand_min, count(*) AS n_samples
+        |FROM g48 g JOIN (SELECT pid, hand,
+        |    5 * 72057594037927936
+        |      + CAST(floor((lat + 90.0) / 180.0 * 32.0) AS BIGINT) * 268435456
+        |      + CAST(floor((lng + 180.0) / 360.0 * 64.0) AS BIGINT) AS ccell
+        |  FROM pts) p ON p.ccell = g.ccell
+        |GROUP BY g.gage_id""".stripMargin),
 
     "q47_knn_mode" -> withCtes(pts, asg,
       """gc AS (
