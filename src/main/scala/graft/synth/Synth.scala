@@ -80,15 +80,21 @@ object Synth {
     d.unionByName(exact).unionByName(near)
   }
 
-  /** Attach lat/lng/hand/cell/ccell to any DF with a `pid` BIGINT column. */
+  /** Attach lat/lng/hand/cell/ccell to any DF with a `pid` BIGINT column.
+    * cell/ccell are wrapped in coalesce(·, -1) to make them NON-NULLABLE:
+    * otherwise the equi-join on ccell injects an `isnotnull(ccell)` filter at
+    * the scan that re-evaluates the whole geocode chain a second time per row
+    * (visible in PLANS.md before this change). Values are never null. */
   def withGeo(df: DataFrame): DataFrame = {
     val withLatLng = df
       .withColumn("lat", latCol(col("pid")))
       .withColumn("lng", lngCol(col("pid")))
     withLatLng
       .withColumn("hand", handCol(col("pid")))
-      .withColumn("cell", Cells.latLngToCellCol(col("lat"), col("lng"), Cells.BaseRes))
-      .withColumn("ccell", Cells.latLngToCellCol(col("lat"), col("lng"), Cells.CoarseRes))
+      .withColumn("cell",
+        coalesce(Cells.latLngToCellCol(col("lat"), col("lng"), Cells.BaseRes), lit(-1L)))
+      .withColumn("ccell",
+        coalesce(Cells.latLngToCellCol(col("lat"), col("lng"), Cells.CoarseRes), lit(-1L)))
   }
 
   // ------------------------------------------------------------ catchments
