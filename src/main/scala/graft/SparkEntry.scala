@@ -521,7 +521,7 @@ object SparkEntry {
 
     "q22_srp_buckets" -> {
       val sums = (0 until 8).map(b =>
-        s"sum(q * (((pos * 197 + ${b * 131}) % 2) * 2 - 1)) AS p$b").mkString(",\n      ")
+        s"sum(q * ((((pos + ${b * 37 + 1}) * 2654435761 >> 13) & 1) * 2 - 1)) AS p$b").mkString(",\n      ")
       val bucket = (0 until 8).map(b => s"CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
       withCtes(qt)(
         s"""SELECT vec_id, CAST($bucket AS BIGINT) AS bucket

@@ -41,6 +41,16 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("multi-table SRP ANN reaches recall@5 >= 0.9 vs brute force (2 bits x 12 tables)") {
+    val embBig = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val brute = AnnSearch.bruteTopK(embBig, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = AnnSearch.srpTopK(embBig, 5, nBits = 2, tables = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("SRP buckets: clones of the same vector share a bucket; buckets bounded") {
     val b = AnnSearch.srpBuckets(emb).collect()
     assert(b.length == emb.count())
