@@ -119,6 +119,12 @@ object SparkEntry {
     "q22_srp_buckets" -> ((s, dir) =>
       AnnSearch.srpBuckets(s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // embedding-cosine near-dup pairs: intra-bucket candidates ≥ threshold
+    "q49_embed_neardup" -> ((s, dir) =>
+      AnnSearch.lshBucketTopK(s.read.parquet(s"$dir/embeddings.parquet"))
+        .filter(col("cos") >= 0.35)
+        .select(col("va"), col("vb"), col("cos"))),
+
     // ---- graph ops (§2.9) over the synthetic stream network ----
 
     // network synthesis (reach table)
@@ -528,6 +534,33 @@ object SparkEntry {
            |FROM (SELECT vec_id,
            |      $sums
            |      FROM qt GROUP BY vec_id)""".stripMargin)
+    },
+
+    "q49_embed_neardup" -> {
+      val sums = (0 until 8).map(b =>
+        s"sum(q * ((((pos + ${b * 37 + 1}) * 2654435761 >> 13) & 1) * 2 - 1)) AS p$b").mkString(",\n      ")
+      val bucket = (0 until 8).map(b => s"CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      withCtes(qt, nrm,
+        s"""bkt AS (
+           |  SELECT vec_id, CAST($bucket AS BIGINT) AS bucket
+           |  FROM (SELECT vec_id,
+           |        $sums
+           |        FROM qt GROUP BY vec_id))""".stripMargin,
+        """cp AS (
+          |  SELECT a.vec_id AS va, b.vec_id AS vb
+          |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |)""".stripMargin,
+        """dts AS (
+          |  SELECT c.va, c.vb, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+          |  FROM cp c JOIN qt x ON x.vec_id = c.va
+          |  JOIN qt y ON y.vec_id = c.vb AND y.pos = x.pos
+          |  GROUP BY c.va, c.vb
+          |)""".stripMargin)(
+        """SELECT d.va, d.vb,
+          |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+          |FROM dts d JOIN nrm na ON d.va = na.vec_id JOIN nrm nb ON d.vb = nb.vec_id
+          |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          |  >= CAST(0.35 AS DOUBLE)""".stripMargin)
     },
 
     "q23_reaches" -> withCtes(net)(
