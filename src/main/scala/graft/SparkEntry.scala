@@ -111,6 +111,9 @@ object SparkEntry {
     // k-min document fingerprint
     "q20_fingerprint" -> ((s, dir) => TextOps.fingerprint(Synth.corpus(s, dir))),
 
+    // composed curation pipeline: quality ∧ ¬exact-dup ∧ ¬near-dup
+    "q50_curation" -> ((s, dir) => TextOps.curate(Synth.corpus(s, dir))),
+
     // brute-force quantized-cosine top-k ANN
     "q21_ann_brute" -> ((s, dir) =>
       AnnSearch.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
@@ -429,6 +432,51 @@ object SparkEntry {
         |  CAST(tp AS DOUBLE) * 2 / (CAST(tp AS DOUBLE) * 2 + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) AS f1,
         |  (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) AS bias
         |FROM c""".stripMargin),
+
+    "q50_curation" -> withCtes(corpus, sh, mh, bnd, prs,
+      """dsh AS (SELECT DISTINCT doc_id,
+        |  CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS hb FROM sh)""".stripMargin,
+      "sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id)",
+      """inter AS (
+        |  SELECT p2.doc_a, p2.doc_b, count(*) AS i
+        |  FROM prs p2 JOIN dsh a ON p2.doc_a = a.doc_id
+        |  JOIN dsh b ON p2.doc_b = b.doc_id AND a.hb = b.hb
+        |  GROUP BY p2.doc_a, p2.doc_b
+        |)""".stripMargin,
+      """jac AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(coalesce(i.i, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS DOUBLE) AS jaccard
+        |  FROM prs p
+        |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |  JOIN sz sa ON sa.doc_id = p.doc_a
+        |  JOIN sz sb ON sb.doc_id = p.doc_b
+        |)""".stripMargin,
+      """ql AS (
+        |  SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+        |    CAST(al AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_word_len,
+        |    CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS stop_ratio
+        |  FROM (SELECT doc_id,
+        |          CAST(length(text) - length(replace(text, ' ', '')) AS INT) + 1 AS nt,
+        |          length(replace(text, ' ', '')) AS al,
+        |          CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS st
+        |        FROM corpus)
+        |  WHERE nt >= 16 AND CAST(al AS DOUBLE) / CAST(nt AS DOUBLE) >= 2.0
+        |    AND CAST(al AS DOUBLE) / CAST(nt AS DOUBLE) <= 12.0
+        |)""".stripMargin,
+      """dlose AS (
+        |  SELECT c.doc_id FROM corpus c
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+        |        FROM corpus GROUP BY md5(text) HAVING count(*) > 1) g
+        |    ON md5(c.text) = g.h
+        |  WHERE c.doc_id <> g.keeper
+        |)""".stripMargin,
+      """nlose AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= CAST(0.9 AS DOUBLE)
+        |)""".stripMargin)(
+      """SELECT q.doc_id, q.n_tokens, q.mean_word_len, q.stop_ratio
+        |FROM ql q
+        |WHERE NOT EXISTS (SELECT 1 FROM dlose d WHERE d.doc_id = q.doc_id)
+        |  AND NOT EXISTS (SELECT 1 FROM nlose n WHERE n.doc_id = q.doc_id)""".stripMargin),
 
     "q13_dedup_exact" -> withCtes(corpus)(
       """SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_doc, max(doc_id) AS max_doc

@@ -145,6 +145,28 @@ object TextOps {
         max(col("doc_id")).as("max_doc"))
       .filter(col("n") > 1)
 
+  /** End-to-end corpus curation — the composed training-data pipeline:
+    * 1. quality gate (keep == 1),
+    * 2. exact dedup: only the min doc_id of each content-hash group survives,
+    * 3. near-dup removal: for every LSH-candidate pair with n-gram Jaccard ≥
+    *    `jaccardMax`, the higher doc_id is dropped.
+    * Returns the surviving doc ids with their quality features. */
+  def curate(docs: DataFrame, jaccardMax: Double = 0.9): DataFrame = {
+    val q = quality(docs).filter(col("keep") === 1)
+    val dupLosers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    val nearLosers = ngramJaccard(docs)
+      .filter(col("jaccard") >= jaccardMax)
+      .select(col("doc_b").as("doc_id")).distinct()
+    q.join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(nearLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"), col("stop_ratio"))
+  }
+
   // ---- text analysis ----
 
   /** Occurrences of `marker` in ' '+text+' ' via the replace-length trick
