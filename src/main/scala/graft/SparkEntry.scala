@@ -114,6 +114,9 @@ object SparkEntry {
     // composed curation pipeline: quality ∧ ¬exact-dup ∧ ¬near-dup
     "q50_curation" -> ((s, dir) => TextOps.curate(Synth.corpus(s, dir))),
 
+    // token counting: whitespace + BPE-ish regex segmentation
+    "q51_tokens" -> ((s, dir) => TextOps.tokenCounts(Synth.corpus(s, dir))),
+
     // brute-force quantized-cosine top-k ANN
     "q21_ann_brute" -> ((s, dir) =>
       AnnSearch.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
@@ -432,6 +435,12 @@ object SparkEntry {
         |  CAST(tp AS DOUBLE) * 2 / (CAST(tp AS DOUBLE) * 2 + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) AS f1,
         |  (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)) AS bias
         |FROM c""".stripMargin),
+
+    "q51_tokens" -> withCtes(corpus)(
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS INT) + 1 AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpeish_tokens
+        |FROM corpus""".stripMargin),
 
     "q50_curation" -> withCtes(corpus, sh, mh, bnd, prs,
       """dsh AS (SELECT DISTINCT doc_id,

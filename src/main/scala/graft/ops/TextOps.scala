@@ -212,6 +212,17 @@ object TextOps {
         (col("n_tokens") >= 16 && col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0).cast("int"))
   }
 
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (word pieces | digit runs | single punctuation — the shape of GPT-2's
+    * pre-tokenizer, simplified to an RE2/Java-regex-portable pattern). */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val bpeish = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9 ]"
+    docs.select(col("doc_id"),
+      ((length(col("text")) - length(replace(col("text"), lit(" "), lit("")))).cast("int") + 1)
+        .as("ws_tokens"),
+      regexp_count(col("text"), lit(bpeish)).cast("int").as("bpeish_tokens"))
+  }
+
   /** Document fingerprint: concatenation of the 4 smallest shingle md5s
     * (winnowing-style k-min sketch). */
   def fingerprint(docs: DataFrame): DataFrame = {
