@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to stdout/stderr — without this
+// sbt's logger prefixes every line with [info]/[error], which breaks the
+// round driver's parse of Bench's single JSON metric line (BENCH_r01.json
+// had "parsed": null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -78,7 +78,14 @@ object Bench {
     }
     val qs = (results :+ ("flagship_e2e" -> secs))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir"}"""
+    // bare line on stdout (run/outputStrategy := StdoutOutput keeps it
+    // unprefixed) + a file copy so the driver can always recover the metric
+    println(line)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_bench.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

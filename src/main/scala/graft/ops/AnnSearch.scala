@@ -22,8 +22,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object AnnSearch {
 
-  /** Long form (vec_id, pos, q) with quantized values; drops zero terms
-    * (they contribute nothing to dot products). */
+  /** Long form (vec_id, pos, q) with quantized values. Zero terms are kept:
+    * dropping them (mirrored in the oracle's qt CTE) would shrink the join
+    * fan-in slightly, but the synthetic embeddings have almost no exact
+    * zeros, so the plumbing stays simpler. */
   def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),

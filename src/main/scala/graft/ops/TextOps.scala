@@ -46,6 +46,19 @@ object TextOps {
     * linear permutations over it. */
   def baseHash(sh: Column): Column = baseHash60(sh) % HashP
 
+  /** The ONE shared artifact the whole dedup family derives from: the
+    * DISTINCT (doc_id, hb) 60-bit shingle-hash table, cached. MinHash minima
+    * are invariant under distinct; Jaccard set sizes/intersections need
+    * distinct — so minhash, LSH banding, exact-Jaccard verify and the
+    * composed curation pipeline can all share this table instead of each
+    * re-shingling and re-md5ing the corpus (q16 was 43 s in BENCH_r01, ~3×
+    * the shingle work of this shared form). */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), baseHash60(col("sh")).as("hb"))
+      .distinct()
+      .cache()
+
   /** Wide MinHash signature: (doc_id, m0..m15) with
     * m_k = min over shingles of (hb·(17+4099·k) + 31+7907·k) mod P — the
     * classic one-base-hash + universal-permutation family, computed as 16
@@ -54,13 +67,16 @@ object TextOps {
     * Numeric minima keep the aggregation in HashAggregate with map-side
     * combine (min over md5 *strings* degrades to SortAggregate — measured
     * 50× slower), and md5 runs once per shingle. */
-  def minhashWide(docs: DataFrame): DataFrame = {
+  def minhashWide(docs: DataFrame): DataFrame =
+    minhashWideFrom(shingles(docs).withColumn("hb", baseHash(col("sh"))))
+
+  /** Wide MinHash from a prepared (doc_id, hb) table (hb any 60-bit hash —
+    * minima are taken mod P). Distinctness of hb does not change the minima,
+    * so [[shingleHashes]] feeds this directly. */
+  def minhashWideFrom(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(k =>
-      min((col("hb") * lit(k * 4099 + 17) + lit(k * 7907 + 31)) % HashP).as(s"m$k"))
-    shingles(docs)
-      .withColumn("hb", baseHash(col("sh")))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+      min(((col("hb") % HashP) * lit(k * 4099 + 17) + lit(k * 7907 + 31)) % HashP).as(s"m$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Long form (doc_id, seed, minh) — unpivot of the wide signature. */
@@ -74,11 +90,15 @@ object TextOps {
 
   /** LSH bands: (doc_id, band, k0..k3) — unpivot of the wide signature into
     * one row per band with the 4 per-seed minima as BIGINT key columns. */
-  def lshBands(docs: DataFrame): DataFrame = {
+  def lshBands(docs: DataFrame): DataFrame =
+    bandsOf(minhashWide(docs))
+
+  /** Bands from an already-computed wide signature (shared-table path). */
+  private def bandsOf(wide: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val stackArgs = (0 until NumBands).flatMap(b =>
       s"$b" +: (0 until rowsPerBand).map(j => s"m${b * rowsPerBand + j}")).mkString(", ")
-    minhashWide(docs)
+    wide
       .select(col("doc_id"),
         expr(s"stack($NumBands, $stackArgs) AS (band, k0, k1, k2, k3)"))
       .withColumn("band", col("band").cast("int"))
@@ -86,25 +106,31 @@ object TextOps {
 
   /** Candidate near-duplicate pairs: docs sharing any full band — the classic
     * LSH bucket self-join, shuffling on the (band, k0..k3) bucket key. */
-  def lshPairs(docs: DataFrame): DataFrame = {
+  def lshPairs(docs: DataFrame): DataFrame =
+    pairsOf(lshBands(docs))
+
+  private def pairsOf(bands: DataFrame): DataFrame = {
     val keys = Seq("band", "k0", "k1", "k2", "k3")
-    val b = lshBands(docs)
-    val a = b.withColumnRenamed("doc_id", "doc_a")
-    val c = b.withColumnRenamed("doc_id", "doc_b")
+    val a = bands.withColumnRenamed("doc_id", "doc_a")
+    val c = bands.withColumnRenamed("doc_id", "doc_b")
     a.join(c, keys)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
 
   /** Exact n-gram Jaccard for the LSH candidate pairs (verification stage of
-    * the dedup pipeline): |A∩B| / |A∪B| over distinct shingle sets. */
-  def ngramJaccard(docs: DataFrame): DataFrame = {
+    * the dedup pipeline): |A∩B| / |A∪B| over distinct shingle sets.
+    * The shingle hashes are computed and md5'd ONCE ([[shingleHashes]]);
+    * candidate generation (minhash → bands → pairs) and the exact verify both
+    * read the same cached table. */
+  def ngramJaccard(docs: DataFrame): DataFrame =
+    ngramJaccardFrom(shingleHashes(docs))
+
+  def ngramJaccardFrom(sh: DataFrame): DataFrame = {
     // distinct 60-bit shingle hashes instead of the strings: 8-byte join keys
     // (collision odds ~n²/2⁶¹ — negligible, and mirrored in the oracle)
-    val sh = shingles(docs).select(col("doc_id"), baseHash60(col("sh")).as("hb"))
-      .distinct().cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = lshPairs(docs).cache()
+    val pairs = pairsOf(bandsOf(minhashWideFrom(sh))).cache()
     // two-key equi-join (doc, hb) on each side — joining on doc alone and
     // filtering equality afterwards would materialize |pairs|·|shingles|² rows
     val inter = pairs
@@ -159,7 +185,7 @@ object TextOps {
       .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "h")
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"))
-    val nearLosers = ngramJaccard(docs)
+    val nearLosers = ngramJaccardFrom(shingleHashes(docs))
       .filter(col("jaccard") >= jaccardMax)
       .select(col("doc_b").as("doc_id")).distinct()
     q.join(dupLosers, Seq("doc_id"), "left_anti")

@@ -35,27 +35,37 @@ object Snapshots {
     * partitions NOT already in the manifest. Each partition directory is
     * written via dynamic partition overwrite (idempotent on retry); the
     * manifest line is appended only after the files land. Returns the
-    * lineage rows committed this run. */
+    * lineage rows committed this run.
+    *
+    * Lineage stats are derived from the FILES JUST WRITTEN, not from a second
+    * pass over the source plan: one expensive scan+transform per commit (the
+    * write), then a cheap columnar read-back of only the new partition
+    * directories for count + fingerprint. This also means the manifest always
+    * describes exactly what landed on disk — a nondeterministic source can
+    * never record stats inconsistent with the committed files. */
   def writeResumable(spark: SparkSession, df: DataFrame, table: String,
       partCol: String): Seq[PartitionLineage] = {
     Files.createDirectories(manifestDir(table))
     val done = committedPartitions(table)
     val pending = df.filter(!col(partCol).isin(done.toSeq: _*))
-    // per-partition lineage stats computed from the data itself: row count +
-    // order-insensitive xor-of-hash content fingerprint
-    val stats = pending
+    val owmKey = "spark.sql.sources.partitionOverwriteMode"
+    val owmOld = spark.conf.getOption(owmKey)
+    spark.conf.set(owmKey, "dynamic")
+    try pending.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(table)
+    finally owmOld.fold(spark.conf.unset(owmKey))(v => spark.conf.set(owmKey, v))
+    // read-back of the written table, pruned to the new partitions; column
+    // order is normalized (sorted) so the fingerprint is stable regardless of
+    // the partition column's position after read-back
+    val snap = readTable(spark, table).filter(!col(partCol).isin(done.toSeq: _*))
+    val stats = snap
       .groupBy(col(partCol).as("part"))
       .agg(count(lit(1)).as("rows"),
         // order-insensitive content fingerprint; bit_xor can't overflow
-        bit_xor(xxhash64(struct(pending.columns.map(col): _*))).as("xor"))
+        bit_xor(xxhash64(struct(snap.columns.sorted.map(col): _*))).as("xor"))
       .collect()
       .map(r => PartitionLineage(r.getString(0), r.getLong(1), r.getLong(2),
         System.currentTimeMillis()))
     if (stats.nonEmpty) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      pending.write.mode(SaveMode.Overwrite)
-        .partitionBy(partCol)
-        .parquet(table)
       val lines = stats.map(s =>
         s"""{"part":"${s.part}","rows":${s.rows},"xor":${s.xor},"commit_ts":${s.commitTs}}""")
       Files.write(manifestFile(table),

@@ -22,10 +22,10 @@ J8=$(run 8)
 echo "$J8"
 J32=$(run 32)
 echo "$J32"
-python3 - "$J2" "$J8" "$J32" "$MULT" "$SF" <<'EOF'
+python3 - "$J2" "$J8" "$J32" "$MULT" "$SF" "$REPS" <<'EOF'
 import json, sys
 a, b, c = (json.loads(x) for x in sys.argv[1:4])
-mult, sf = sys.argv[4], sys.argv[5]
+mult, sf, reps = sys.argv[4], sys.argv[5], int(sys.argv[6])
 e28 = b["pages_per_sec"] / (4 * a["pages_per_sec"])
 e832 = c["pages_per_sec"] / (4 * b["pages_per_sec"])
 md = f"""# BENCH — measured scaling (flagship spatial-join + tile pipeline)
@@ -33,7 +33,7 @@ md = f"""# BENCH — measured scaling (flagship spatial-join + tile pipeline)
 Job: scan → geocode → H3 encode → PIP broadcast join → rating interp →
 depth/class kernel → per-cell mosaic → agreement → contingency metrics —
 one shuffle total (the mosaic groupBy). Input: lineitem@{sf} ×{mult}
-exploded = {a['rows']:,} pages. Best of {len('xx')} reps after a same-shape warm-up.
+exploded = {a['rows']:,} pages. Best of {reps} reps after a same-shape warm-up.
 Each JVM is pinned with `taskset -c 0-(cores-1)` so task slots, GC and
 shuffle-IO threads all share exactly the measured cores — the honest
 single-box proxy for N vs 4N executors.
