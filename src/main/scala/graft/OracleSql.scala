@@ -151,6 +151,56 @@ object OracleSql {
       |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id
       |)""".stripMargin
 
+  // ---- SRC calibration family (q52-q54) ----
+
+  /** SRC with channel-geometry columns — mirror of
+    * [[graft.ops.Calibration.srcGeom]] (same formula text). */
+  val srcg: String =
+    """srcg AS (
+      |  SELECT hydroid, i, stage,
+      |    (hydroid % 7 + 1) * stage
+      |      + ((hydroid % 5) * CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE)) * stage * stage AS discharge_cms,
+      |    CAST(1.0 AS DOUBLE) + (hydroid % 8) * CAST(0.125 AS DOUBLE) AS length_km,
+      |    CAST(0.001 AS DOUBLE) + (hydroid % 11) * CAST(0.0005 AS DOUBLE) AS slope,
+      |    CAST(0.03 AS DOUBLE) + (hydroid % 6) * CAST(0.01 AS DOUBLE) AS channel_n,
+      |    CAST(0.1 AS DOUBLE) + (hydroid % 4) * CAST(0.025 AS DOUBLE) AS overbank_n,
+      |    area_base + (hydroid % 3 + 1) * CAST(40.0 AS DOUBLE) * stage AS surface_area,
+      |    area_base * stage + (hydroid % 3 + 1) * CAST(20.0 AS DOUBLE) * stage * stage AS volume,
+      |    area_base + (hydroid % 3 + 1) * CAST(50.0 AS DOUBLE) * stage AS bed_area,
+      |    ((hydroid * 61 + 23) % 7000) / 10.0 AS bankfull_flow
+      |  FROM (SELECT h.hydroid, s.i, s.i * CAST(0.3048 AS DOUBLE) AS stage,
+      |               (h.hydroid % 13 + 5) * CAST(100.0 AS DOUBLE) AS area_base
+      |        FROM (SELECT a.x * 144 + b.x AS hydroid
+      |              FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)) h,
+      |             generate_series(0, 83) s(i))
+      |)""".stripMargin
+
+  /** Bankfull row per HydroID: argmin |bankfull_flow − Q| over stages > 0,
+    * ties to the lowest stage (pandas idxmin on a stage-sorted frame). */
+  val bfq: String =
+    """bfq AS (
+      |  SELECT hydroid, stage AS stage_bankfull, volume AS volume_bankfull,
+      |    bed_area AS bedarea_bankfull, surface_area AS surfarea_bankfull,
+      |    qdiff AS qdiff_bankfull
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY hydroid ORDER BY qdiff, stage) AS rn
+      |        FROM (SELECT *, abs(bankfull_flow - discharge_cms) AS qdiff
+      |              FROM srcg WHERE stage > CAST(0.0 AS DOUBLE)))
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  /** Newton-cbrt chain CTEs for the Manning recompute: i0 seeds yc/yo with
+    * sqrt(sqrt(x²)), i1..i8 iterate y ← (2y + x²/y²)/3 — matching
+    * [[graft.ops.Calibration]]'s fixed-iteration chain step for step. */
+  def newtonCtes: Seq[String] = {
+    val seed = "i0 AS (SELECT *, sqrt(sqrt(x2c)) AS yc, sqrt(sqrt(x2o)) AS yo FROM sd4)"
+    val steps = (1 to 8).map { k =>
+      s"""i$k AS (SELECT * REPLACE (
+         |  (CAST(2.0 AS DOUBLE) * yc + x2c / (yc * yc)) / CAST(3.0 AS DOUBLE) AS yc,
+         |  (CAST(2.0 AS DOUBLE) * yo + x2o / (yo * yo)) / CAST(3.0 AS DOUBLE) AS yo) FROM i${k - 1})""".stripMargin
+    }
+    seed +: steps
+  }
+
   // ---- synthetic stream network (graph ops G1-G5) ----
 
   /** Closed-form reach network: lr = floor(h/144) % 8, lc = h % 8 (144 ≡ 0

@@ -341,6 +341,24 @@ object SparkEntry {
         .select(col("hydroid"), col("stage_m"), col("category"))
     }),
 
+    // ---- SRC calibration family (lifecycle step 5; §2 A2/A9 analogs) ----
+
+    // bankfull identification: argmin |NWM bankfull flow − SRC discharge|
+    // per HydroID (identify_src_bankfull.py:98,129-134)
+    "q52_bankfull" -> ((s, _) => Calibration.bankfull(Calibration.srcGeom(s))),
+
+    // channel/overbank subdivision + Manning recompute per portion
+    // (subdiv_chan_obank_src.py:218-291); HR^(2/3) via the bit-portable
+    // fixed-iteration Newton cube root
+    "q53_subdiv" -> ((s, _) =>
+      Calibration.subdivide(Calibration.srcGeom(s).filter(col("hydroid") % 7 === 3))
+        .select(col("hydroid"), col("stage"), col("vol_chan"),
+          col("q_chan"), col("q_ob"), col("q_subdiv"))),
+
+    // roughness calibration: per-HydroID median coef, feature-group mean
+    // fallback, applied back to the SRC (src_roughness_optimization.py:276-400,546-561)
+    "q54_roughness" -> ((s, _) => Calibration.roughness(s)),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -856,6 +874,104 @@ object SparkEntry {
         |FROM (SELECT hydroid, stage_m,
         |        CAST(1.0 AS DOUBLE) + (hydroid % 4) * CAST(0.5 AS DOUBLE) AS t_action
         |      FROM stg)""".stripMargin),
+
+    "q52_bankfull" -> withCtes(srcg, bfq)(
+      """SELECT hydroid, stage_bankfull, volume_bankfull, bedarea_bankfull,
+        |  surfarea_bankfull, qdiff_bankfull FROM bfq""".stripMargin),
+
+    "q53_subdiv" -> withCtes(Seq(srcg, bfq,
+      """sd0 AS (
+        |  SELECT s.hydroid, s.stage, s.length_km, s.slope, s.channel_n, s.overbank_n,
+        |    s.volume, s.bed_area, b.stage_bankfull, b.volume_bankfull,
+        |    b.bedarea_bankfull, b.surfarea_bankfull,
+        |    CASE WHEN s.stage <= b.stage_bankfull THEN s.volume
+        |         ELSE b.volume_bankfull + (s.stage - b.stage_bankfull) * b.surfarea_bankfull
+        |    END AS vol_chan,
+        |    CASE WHEN s.stage <= b.stage_bankfull THEN s.bed_area ELSE b.bedarea_bankfull END AS bed_chan
+        |  FROM srcg s JOIN bfq b ON s.hydroid = b.hydroid
+        |  WHERE s.hydroid % 7 = 3
+        |)""".stripMargin,
+      """sd1 AS (
+        |  SELECT *,
+        |    CASE WHEN stage <= stage_bankfull THEN bed_chan / length_km / CAST(1000.0 AS DOUBLE)
+        |         ELSE bed_chan / length_km / CAST(1000.0 AS DOUBLE)
+        |              + (stage - stage_bankfull) * CAST(2.0 AS DOUBLE)
+        |    END AS wp_chan,
+        |    CASE WHEN stage > stage_bankfull THEN volume - vol_chan ELSE CAST(0.0 AS DOUBLE) END AS vol_ob,
+        |    CASE WHEN stage > stage_bankfull THEN bed_area - bed_chan ELSE CAST(0.0 AS DOUBLE) END AS bed_ob,
+        |    vol_chan / length_km / CAST(1000.0 AS DOUBLE) AS wa_chan
+        |  FROM sd0
+        |)""".stripMargin,
+      """sd2 AS (
+        |  SELECT *,
+        |    bed_ob / length_km / CAST(1000.0 AS DOUBLE) AS wp_ob,
+        |    CASE WHEN wp_chan > CAST(0.0 AS DOUBLE) THEN wa_chan / wp_chan ELSE CAST(0.0 AS DOUBLE) END AS hr_chan,
+        |    vol_ob / length_km / CAST(1000.0 AS DOUBLE) AS wa_ob
+        |  FROM sd1
+        |)""".stripMargin,
+      """sd3 AS (
+        |  SELECT *, CASE WHEN wp_ob > CAST(0.0 AS DOUBLE) THEN wa_ob / wp_ob ELSE CAST(0.0 AS DOUBLE) END AS hr_ob
+        |  FROM sd2
+        |)""".stripMargin,
+      """sd4 AS (
+        |  SELECT *,
+        |    CASE WHEN hr_chan > CAST(0.0 AS DOUBLE) THEN hr_chan * hr_chan ELSE CAST(1.0 AS DOUBLE) END AS x2c,
+        |    CASE WHEN hr_ob > CAST(0.0 AS DOUBLE) THEN hr_ob * hr_ob ELSE CAST(1.0 AS DOUBLE) END AS x2o
+        |  FROM sd3
+        |)""".stripMargin) ++ newtonCtes: _*)(
+      """SELECT hydroid, stage, vol_chan, q_chan, q_ob, q_chan + q_ob AS q_subdiv
+        |FROM (SELECT hydroid, stage, vol_chan,
+        |        CASE WHEN hr_chan > CAST(0.0 AS DOUBLE)
+        |             THEN wa_chan * yc * sqrt(slope) / channel_n ELSE CAST(0.0 AS DOUBLE) END AS q_chan,
+        |        CASE WHEN hr_ob > CAST(0.0 AS DOUBLE)
+        |             THEN wa_ob * yo * sqrt(slope) / overbank_n ELSE CAST(0.0 AS DOUBLE) END AS q_ob
+        |      FROM i8)""".stripMargin),
+
+    "q54_roughness" -> withCtes(srcg,
+      """obsu AS (
+        |  SELECT hydroid, j.j AS j, (hydroid * 7 + j.j * 31) % 84 AS ki
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)),
+        |       generate_series(0, 2) j(j)
+        |  WHERE hydroid % 23 < 2 AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """obsq AS (
+        |  SELECT o.hydroid, o.j, g.discharge_cms AS qsrc, g.channel_n, g.overbank_n,
+        |    g.discharge_cms * (((o.hydroid * 31 + o.j * 17) % 1000) / 100.0 + CAST(0.05 AS DOUBLE)) AS qobs
+        |  FROM obsu o JOIN srcg g ON o.hydroid = g.hydroid AND o.ki = g.i
+        |)""".stripMargin,
+      """coefq AS (
+        |  SELECT *, coef * channel_n AS chn, coef * overbank_n AS obn
+        |  FROM (SELECT *, qobs / qsrc AS coef FROM obsq)
+        |)""".stripMargin,
+      """medq AS (
+        |  SELECT hydroid, sum(coef) / count(*) AS calb_hydroid
+        |  FROM (SELECT hydroid, coef,
+        |          row_number() OVER (PARTITION BY hydroid ORDER BY coef) AS rn,
+        |          count(*) OVER (PARTITION BY hydroid) AS n
+        |        FROM coefq
+        |        WHERE qsrc > CAST(0.0 AS DOUBLE)
+        |          AND chn < CAST(0.8 AS DOUBLE) AND chn > CAST(0.001 AS DOUBLE)
+        |          AND obn < CAST(0.8 AS DOUBLE) AND obn > CAST(0.001 AS DOUBLE))
+        |  WHERE rn = floor((n + 1) / 2.0) OR rn = floor((n + 2) / 2.0)
+        |  GROUP BY hydroid
+        |)""".stripMargin,
+      """grpq AS (
+        |  SELECT fg, sum(calb_hydroid) / count(*) AS calb_featgrp
+        |  FROM (SELECT hydroid - hydroid % 2 AS fg, calb_hydroid FROM medq)
+        |  GROUP BY fg
+        |)""".stripMargin)(
+      """SELECT u.hydroid, u.stage, u.discharge_cms AS precalb_cms,
+        |  coalesce(m.calb_hydroid, g.calb_featgrp) AS calb_coef_final,
+        |  CASE WHEN coalesce(m.calb_hydroid, g.calb_featgrp) IS NULL THEN u.discharge_cms
+        |       WHEN u.discharge_cms = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+        |       ELSE u.discharge_cms / coalesce(m.calb_hydroid, g.calb_featgrp)
+        |  END AS discharge_calb,
+        |  CASE WHEN coalesce(m.calb_hydroid, g.calb_featgrp) IS NOT NULL THEN 'True' ELSE 'False' END AS calb_applied
+        |FROM srcg u
+        |LEFT JOIN medq m ON u.hydroid = m.hydroid
+        |LEFT JOIN grpq g ON u.hydroid - u.hydroid % 2 = g.fg
+        |WHERE u.hydroid % 23 < 4 AND u.i % 7 = 0""".stripMargin),
 
     "q41_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

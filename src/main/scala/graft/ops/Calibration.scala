@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.synth.Synth
+
+/** SRC calibration family — lifecycle step 5 of SURVEY.md §0, the
+  * post-processing pass the reference runs on every production build:
+  *
+  *  1. [[bankfull]] — locate the SRC row closest to the NWM bankfull flow per
+  *     HydroID (`src/identify_src_bankfull.py:98,129-134`: `Q_bfull_find =
+  *     |bankfull_flow − Discharge|`, `Stage > 0`, `groupby('HydroID').idxmin()`).
+  *  2. [[subdivide]] — split volume/bed-area at the bankfull stage into
+  *     channel + overbank portions and recompute discharge with Manning's
+  *     equation per portion (`src/subdiv_chan_obank_src.py:218-291`).
+  *  3. [[roughness]] — per-HydroID median calibration coefficient from
+  *     observed vs SRC discharge, per-feature-group mean fallback, applied
+  *     back to the SRC (`src/src_roughness_optimization.py:276-400` and the
+  *     apply step at `:546-561`: `discharge = precalb / calb_coef_final`).
+  *
+  * All arithmetic is IEEE +,-,*,/ on DOUBLE plus sqrt and one fixed-iteration
+  * Newton cube root ([[cbrt23Chain]]) so the DuckDB oracle reproduces every
+  * value bit-for-bit. Scale shape: everything is per-(HydroID, stage-knot)
+  * map work plus per-HydroID aggregations — partial-agg friendly, no
+  * wide shuffles; the bankfull dimension (one row per HydroID) is broadcast
+  * back to the knot table.
+  */
+object Calibration {
+
+  /** Synthetic SRC with channel-geometry columns — the engine's analog of the
+    * reference's `src_full_crosswalked.csv` (Stage, Volume (m3), BedArea (m2),
+    * SurfaceArea (m2), LENGTHKM, SLOPE, channel_n, overbank_n, plus the NWM
+    * bankfull-flow estimate). Deterministic closed forms per (hydroid, stage):
+    * volume is the exact integral of the surface-area ramp, so the geometry
+    * is self-consistent. Textual SQL mirror: [[graft.OracleSql.srcg]]. */
+  def srcGeom(spark: SparkSession): DataFrame = {
+    val g = col("hydroid") % 3 + 1
+    Synth.hydrotable(spark)
+      .withColumn("length_km", lit(1.0) + (col("hydroid") % 8) * lit(0.125))
+      .withColumn("slope", lit(0.001) + (col("hydroid") % 11) * lit(0.0005))
+      .withColumn("channel_n", lit(0.03) + (col("hydroid") % 6) * lit(0.01))
+      .withColumn("overbank_n", lit(0.1) + (col("hydroid") % 4) * lit(0.025))
+      .withColumn("area_base", (col("hydroid") % 13 + 5) * lit(100.0))
+      .withColumn("surface_area", col("area_base") + g * lit(40.0) * col("stage"))
+      .withColumn("volume",
+        col("area_base") * col("stage") + g * lit(20.0) * col("stage") * col("stage"))
+      .withColumn("bed_area", col("area_base") + g * lit(50.0) * col("stage"))
+      .withColumn("bankfull_flow", ((col("hydroid") * 61 + 23) % 7000) / lit(10.0))
+  }
+
+  /** Bankfull identification (q52): per HydroID, the SRC row whose discharge
+    * is closest to the NWM bankfull flow. argmin via min(struct(...)) — a
+    * hash aggregation with map-side combine, no sort; the (qdiff, stage)
+    * prefix reproduces pandas idxmin's first-row-wins tie-break (the SRC is
+    * stage-ordered). */
+  def bankfull(src: DataFrame): DataFrame =
+    src.filter(col("stage") > 0.0)
+      .withColumn("qdiff", abs(col("bankfull_flow") - col("discharge_cms")))
+      .groupBy(col("hydroid"))
+      .agg(min(struct(col("qdiff"), col("stage"), col("volume"), col("bed_area"),
+        col("surface_area"))).as("m"))
+      .select(col("hydroid"),
+        col("m.stage").as("stage_bankfull"),
+        col("m.volume").as("volume_bankfull"),
+        col("m.bed_area").as("bedarea_bankfull"),
+        col("m.surface_area").as("surfarea_bankfull"),
+        col("m.qdiff").as("qdiff_bankfull"))
+
+  /** x^(2/3) for the Manning recompute, as a fixed-point chain: y = cbrt(x²)
+    * by 8 Newton iterations y ← (2y + x²/y²)/3 from y₀ = sqrt(sqrt(x²)).
+    * Every step is IEEE +,*,/ (and sqrt, which is correctly rounded), so the
+    * chain is bit-identical in ANY engine — unlike pow(x, 2.0/3), which
+    * differs between the JVM and libm in ~1/500 values (measured). Verified
+    * ≤ 4e-12 relative error vs pow over [1e-6, 1e6]. Built as one
+    * withColumn per step: each y is referenced three times, which keeps
+    * CollapseProject from inlining the chain into an exponential expression. */
+  private def newtonCbrt(d0: DataFrame, x2: String, y: String): DataFrame = {
+    var d = d0.withColumn(y, sqrt(sqrt(col(x2))))
+    for (_ <- 0 until 8)
+      d = d.withColumn(y, (lit(2.0) * col(y) + col(x2) / (col(y) * col(y))) / lit(3.0))
+    d
+  }
+
+  /** Channel/overbank SRC subdivision + Manning recompute (q53), the np.where
+    * ladder of `subdiv_chan_obank_src.py:218-291`:
+    * in-channel volume/bed-area are clamped at bankfull (volume grows by the
+    * bankfull surface area above it), overbank gets the remainder, and each
+    * portion's discharge is recomputed as WetArea · HR^(2/3) · √slope / n. */
+  def subdivide(src: DataFrame): DataFrame = {
+    val bf = bankfull(src)
+      .select("hydroid", "stage_bankfull", "volume_bankfull", "bedarea_bankfull",
+        "surfarea_bankfull")
+    val base = src.join(broadcast(bf), "hydroid")
+      .withColumn("vol_chan",
+        when(col("stage") <= col("stage_bankfull"), col("volume"))
+          .otherwise(col("volume_bankfull")
+            + (col("stage") - col("stage_bankfull")) * col("surfarea_bankfull")))
+      .withColumn("bed_chan",
+        when(col("stage") <= col("stage_bankfull"), col("bed_area"))
+          .otherwise(col("bedarea_bankfull")))
+      .withColumn("wp_chan",
+        when(col("stage") <= col("stage_bankfull"),
+          col("bed_chan") / col("length_km") / lit(1000.0))
+          .otherwise(col("bed_chan") / col("length_km") / lit(1000.0)
+            + (col("stage") - col("stage_bankfull")) * lit(2.0)))
+      .withColumn("vol_ob",
+        when(col("stage") > col("stage_bankfull"), col("volume") - col("vol_chan"))
+          .otherwise(lit(0.0)))
+      .withColumn("bed_ob",
+        when(col("stage") > col("stage_bankfull"), col("bed_area") - col("bed_chan"))
+          .otherwise(lit(0.0)))
+      .withColumn("wp_ob", col("bed_ob") / col("length_km") / lit(1000.0))
+      .withColumn("wa_chan", col("vol_chan") / col("length_km") / lit(1000.0))
+      .withColumn("hr_chan",
+        when(col("wp_chan") > 0.0, col("wa_chan") / col("wp_chan")).otherwise(lit(0.0)))
+      .withColumn("wa_ob", col("vol_ob") / col("length_km") / lit(1000.0))
+      .withColumn("hr_ob",
+        when(col("wp_ob") > 0.0, col("wa_ob") / col("wp_ob")).otherwise(lit(0.0)))
+      // guard the Newton chain away from x = 0 (stage 0 / below-bankfull
+      // overbank rows): iterate on 1.0 there, select 0 discharge at the end —
+      // the relational mirror of the reference's fillna(0) after inf-replace
+      .withColumn("x2c",
+        when(col("hr_chan") > 0.0, col("hr_chan") * col("hr_chan")).otherwise(lit(1.0)))
+      .withColumn("x2o",
+        when(col("hr_ob") > 0.0, col("hr_ob") * col("hr_ob")).otherwise(lit(1.0)))
+    val n2 = newtonCbrt(newtonCbrt(base, "x2c", "yc"), "x2o", "yo")
+    n2
+      .withColumn("q_chan",
+        when(col("hr_chan") > 0.0,
+          col("wa_chan") * col("yc") * sqrt(col("slope")) / col("channel_n"))
+          .otherwise(lit(0.0)))
+      .withColumn("q_ob",
+        when(col("hr_ob") > 0.0,
+          col("wa_ob") * col("yo") * sqrt(col("slope")) / col("overbank_n"))
+          .otherwise(lit(0.0)))
+      .withColumn("q_subdiv", col("q_chan") + col("q_ob"))
+  }
+
+  /** Synthetic calibration observations (`src/src_adjust_spatial_obs.py`
+    * analog): 3 observations per observed HydroID (every 23rd pair-start, lake
+    * rows excluded), each pinned to an SRC stage knot with an observed
+    * discharge that is a deterministic multiple of the SRC discharge —
+    * the multiplier range [0.05, 10.04] exercises both Mann_flag branches. */
+  def observations(spark: SparkSession): DataFrame =
+    spark.range(0, (Synth.CatRows * Synth.CatCols).toLong)
+      .select(col("id").as("hydroid"))
+      .filter(col("hydroid") % 23 < 2 && col("hydroid") % 97 =!= 0)
+      .withColumn("j", explode(sequence(lit(0), lit(2))))
+      .withColumn("ki", (col("hydroid") * 7 + col("j") * 31) % 84)
+
+  /** Roughness calibration applied back to the SRC (q54):
+    * coef = Qobs/Qsrc per observation; Mann_flag Pass iff the adjusted
+    * channel/overbank n stay inside (0.001, 0.8) (`tools_shared_variables`
+    * thresholds) and Qsrc > 0; per-HydroID MEDIAN of passing coefs (computed
+    * as the mean of the ≤2 middle order statistics — identical arithmetic in
+    * Spark and DuckDB, unlike each engine's native percentile interpolation);
+    * per-feature-group mean fallback (`np.select` conditions); final coef
+    * applied as discharge = precalb / coef with the 0-discharge mask kept. */
+  def roughness(spark: SparkSession): DataFrame = {
+    val src = srcGeom(spark)
+    val obs = observations(spark)
+      .join(src.select(col("hydroid"), col("i"), col("discharge_cms").as("qsrc"),
+        col("channel_n"), col("overbank_n")).withColumnRenamed("i", "ki"),
+        Seq("hydroid", "ki"))
+      .withColumn("qobs",
+        col("qsrc") * (((col("hydroid") * 31 + col("j") * 17) % 1000) / lit(100.0) + lit(0.05)))
+      .withColumn("coef", col("qobs") / col("qsrc"))
+      .withColumn("chn", col("coef") * col("channel_n"))
+      .withColumn("obn", col("coef") * col("overbank_n"))
+    val passing = obs.filter(col("qsrc") > 0.0 &&
+      col("chn") < 0.8 && col("chn") > 0.001 && col("obn") < 0.8 && col("obn") > 0.001)
+    val wOrd = Window.partitionBy(col("hydroid")).orderBy(col("coef"))
+    val wAll = Window.partitionBy(col("hydroid"))
+    val med = passing
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === floor((col("n") + 1) / lit(2.0)) ||
+        col("rn") === floor((col("n") + 2) / lit(2.0)))
+      .groupBy(col("hydroid"))
+      .agg((sum(col("coef")) / count(lit(1))).as("calb_hydroid"))
+    val grp = med
+      .withColumn("fg", col("hydroid") - col("hydroid") % 2)
+      .groupBy(col("fg"))
+      .agg((sum(col("calb_hydroid")) / count(lit(1))).as("calb_featgrp"))
+    src.filter(col("hydroid") % 23 < 4 && col("i") % 7 === 0)
+      .withColumn("fg", col("hydroid") - col("hydroid") % 2)
+      .join(broadcast(med), Seq("hydroid"), "left")
+      .join(broadcast(grp), Seq("fg"), "left")
+      .withColumn("calb_coef_final", coalesce(col("calb_hydroid"), col("calb_featgrp")))
+      .select(col("hydroid"), col("stage"),
+        col("discharge_cms").as("precalb_cms"),
+        col("calb_coef_final"),
+        when(col("calb_coef_final").isNull, col("discharge_cms"))
+          .when(col("discharge_cms") === 0.0, lit(0.0))
+          .otherwise(col("discharge_cms") / col("calb_coef_final")).as("discharge_calb"),
+        when(col("calb_coef_final").isNotNull, lit("True")).otherwise(lit("False"))
+          .as("calb_applied"))
+  }
+}
