@@ -359,6 +359,34 @@ object SparkEntry {
     // fallback, applied back to the SRC (src_roughness_optimization.py:276-400,546-561)
     "q54_roughness" -> ((s, _) => Calibration.roughness(s)),
 
+    // flow-based CatFIM: per-site per-magnitude threshold FLOWS pushed
+    // through the rating curve (generate_categorical_fim_flows.py:148-300)
+    "q55_catfim_flow" -> ((s, _) => CatFim.catfimFlow(s)),
+
+    // multi-benchmark master-metrics assembly: one mosaic evaluated against
+    // every (benchmark_source × magnitude), melted to the long master table
+    // (synthesize_test_cases.py:22-293)
+    "q56_master_metrics" -> ((s, dir) =>
+      Agreement.masterMetrics(Inundate.run(s, dir))),
+
+    // src.json round-trip: per-HydroID knot lists → to_json → from_json →
+    // re-exploded rows (add_crosswalk.py:407-430); the oracle is the identity,
+    // so any JSON mangling of doubles breaks the hash
+    "q57_src_json" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("knots", ArrayType(StructType(Seq(
+        StructField("i", IntegerType), StructField("stage", DoubleType),
+        StructField("q", DoubleType)))))))
+      Synth.hydrotable(s).filter(col("hydroid") % 199 === 0)
+        .groupBy(col("hydroid"))
+        .agg(to_json(struct(sort_array(collect_list(struct(col("i").cast("int").as("i"),
+          col("stage"), col("discharge_cms").as("q")))).as("knots"))).as("js"))
+        .select(col("hydroid"), from_json(col("js"), schema).as("p"))
+        .select(col("hydroid"), explode(col("p.knots")).as("k"))
+        .select(col("hydroid"), col("k.i").as("i"), col("k.stage").as("stage"),
+          col("k.q").as("discharge_cms"))
+    }),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -972,6 +1000,77 @@ object SparkEntry {
         |LEFT JOIN medq m ON u.hydroid = m.hydroid
         |LEFT JOIN grpq g ON u.hydroid - u.hydroid % 2 = g.fg
         |WHERE u.hydroid % 23 < 4 AND u.i % 7 = 0""".stripMargin),
+
+    "q55_catfim_flow" -> withCtes(ht, fc,
+      """sites AS (
+        |  SELECT hydroid, m.m AS m,
+        |    CASE WHEN m.m = 0 THEN 'action' WHEN m.m = 1 THEN 'minor'
+        |         WHEN m.m = 2 THEN 'moderate' WHEN m.m = 3 THEN 'major'
+        |         ELSE 'record' END AS magnitude,
+        |    (((hydroid * 53 + 11) % 4000) / 10.0 + CAST(5.0 AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) + m.m * CAST(0.75 AS DOUBLE)) AS discharge
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)),
+        |       generate_series(0, 4) m(m)
+        |  WHERE hydroid % 41 = 0 AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """cstg AS (
+        |  SELECT hydroid, m, magnitude, discharge,
+        |    CASE WHEN max(CASE WHEN discharge_cms <= discharge THEN stage END) IS NULL THEN min(stage)
+        |         WHEN min(CASE WHEN discharge_cms > discharge THEN stage END) IS NULL THEN max(stage)
+        |         ELSE max(CASE WHEN discharge_cms <= discharge THEN stage END)
+        |            + (max(discharge) - max(CASE WHEN discharge_cms <= discharge THEN discharge_cms END))
+        |            * (min(CASE WHEN discharge_cms > discharge THEN stage END)
+        |               - max(CASE WHEN discharge_cms <= discharge THEN stage END))
+        |            / (min(CASE WHEN discharge_cms > discharge THEN discharge_cms END)
+        |               - max(CASE WHEN discharge_cms <= discharge THEN discharge_cms END))
+        |    END AS stage_m
+        |  FROM (SELECT s.hydroid, s.m, s.magnitude, s.discharge, ht.stage, ht.discharge_cms
+        |        FROM ht JOIN sites s ON ht.hydroid = s.hydroid)
+        |  GROUP BY hydroid, m, magnitude, discharge
+        |)""".stripMargin)(
+      """SELECT c.hydroid, c.magnitude, c.discharge AS mag_flow, c.stage_m,
+        |  CASE WHEN f.q_now >= c.discharge THEN 1 ELSE 0 END AS is_active
+        |FROM cstg c
+        |JOIN (SELECT feature_id - 1000000 AS hydroid, discharge AS q_now FROM fc) f
+        |  ON c.hydroid = f.hydroid""".stripMargin),
+
+    "q56_master_metrics" -> {
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      def metricsSql(tn: String, fn: String, fp: String, tp: String): String =
+        s"""${d(tp)} / (${d(tp)} + ${d(fp)} + ${d(fn)}) AS csi,
+           |  ${d(tp)} / (${d(tp)} + ${d(fn)}) AS tpr,
+           |  ${d(fp)} / (${d(tp)} + ${d(fp)}) AS far,
+           |  (${d(tp)} * ${d(tn)} - ${d(fp)} * ${d(fn)})
+           |    / sqrt((${d(tp)} + ${d(fp)}) * (${d(tp)} + ${d(fn)}) * (${d(tn)} + ${d(fp)}) * (${d(tn)} + ${d(fn)})) AS mcc,
+           |  (${d(tp)} + ${d(tn)}) / (${d(tp)} + ${d(tn)} + ${d(fp)} + ${d(fn)}) AS acc,
+           |  ${d(tp)} * 2 / (${d(tp)} * 2 + ${d(fp)} + ${d(fn)}) AS f1,
+           |  (${d(tp)} + ${d(fp)}) / (${d(tp)} + ${d(fn)}) AS bias""".stripMargin
+      val row = "((cell // 268435456) % 268435456)"
+      val colc = "(cell % 268435456)"
+      def agrSql(k: Int, w: Int, t: String): String =
+        s"""CASE WHEN ($row * 29 + $colc * 13) % 50 = 0 THEN 4
+           |     ELSE (CASE WHEN depth_max > $t THEN 1 ELSE 0 END) * 2
+           |          + CASE WHEN ($row * 31 + $colc * 17 + $k) % 10 < $w THEN 1 ELSE 0 END
+           |END""".stripMargin
+      val counts = graft.ops.Agreement.MasterCombos.flatMap { case (src, mag, k, w, t) =>
+        val tSql = if (t == 0.5) "CAST(0.5 AS DOUBLE)" else "CAST(0.0 AS DOUBLE)"
+        (0 to 4).map(c =>
+          s"count(CASE WHEN ${agrSql(k, w, tSql)} = $c THEN 1 END) AS c${c}_${src}_$mag")
+      }.mkString(",\n    ")
+      val unions = graft.ops.Agreement.MasterCombos.map { case (src, mag, _, _, _) =>
+        def c(i: Int) = s"c${i}_${src}_$mag"
+        s"""SELECT 'graft_r2' AS version, '$src' AS benchmark_source, '$mag' AS magnitude,
+           |  ${c(0)} AS tn, ${c(1)} AS fn, ${c(2)} AS fp, ${c(3)} AS tp, ${c(4)} AS masked,
+           |  ${metricsSql(c(0), c(1), c(2), c(3))}
+           |FROM c56""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      withCtes(pts, asg, ht, fc, stg, til, mos,
+        s"c56 AS (\n  SELECT ${counts}\n  FROM mos\n)")(unions)
+    },
+
+    "q57_src_json" -> withCtes(srcg)(
+      "SELECT hydroid, CAST(i AS INT) AS i, stage, discharge_cms FROM srcg WHERE hydroid % 199 = 0"),
 
     "q41_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

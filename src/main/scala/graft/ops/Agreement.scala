@@ -37,20 +37,14 @@ object Agreement {
         .otherwise((col("depth_max") > 0).cast("int") * 2 + benchWet(col("cell")))
         .cast("int").as("agreement"))
 
-  /** Contingency counts + the reference's printworthy metrics
-    * (`tools_shared_functions.py:1666-1689`): CSI, TPR, FAR, MCC, ACC, F1,
-    * plus bias. All derived in exact double arithmetic from BIGINT counts. */
-  def metrics(agreementDf: DataFrame): DataFrame = {
-    val counted = agreementDf.agg(
-      count(when(col("agreement") === 0, 1)).as("tn"),
-      count(when(col("agreement") === 1, 1)).as("fn"),
-      count(when(col("agreement") === 2, 1)).as("fp"),
-      count(when(col("agreement") === 3, 1)).as("tp"),
-      count(when(col("agreement") === 4, 1)).as("masked"))
-    val tp = col("tp").cast("double"); val tn = col("tn").cast("double")
-    val fp = col("fp").cast("double"); val fn = col("fn").cast("double")
-    counted.select(
-      col("tn"), col("fn"), col("fp"), col("tp"), col("masked"),
+  /** The reference's printworthy metric family from contingency-count
+    * columns (`tools_shared_functions.py:1666-1689`): CSI, TPR, FAR, MCC,
+    * ACC, F1, plus bias — exact double arithmetic from BIGINT counts,
+    * shared by [[metrics]] (q12) and [[masterMetrics]] (q56). */
+  def metricCols(tnC: Column, fnC: Column, fpC: Column, tpC: Column): Seq[Column] = {
+    val tp = tpC.cast("double"); val tn = tnC.cast("double")
+    val fp = fpC.cast("double"); val fn = fnC.cast("double")
+    Seq(
       (tp / (tp + fp + fn)).as("csi"),
       (tp / (tp + fn)).as("tpr"),
       (fp / (tp + fp)).as("far"),
@@ -59,5 +53,54 @@ object Agreement {
       ((tp + tn) / (tp + tn + fp + fn)).as("acc"),
       (tp * 2 / (tp * 2 + fp + fn)).as("f1"),
       ((tp + fp) / (tp + fn)).as("bias"))
+  }
+
+  /** Contingency counts + metrics for one agreement raster (q12). */
+  def metrics(agreementDf: DataFrame): DataFrame = {
+    val counted = agreementDf.agg(
+      count(when(col("agreement") === 0, 1)).as("tn"),
+      count(when(col("agreement") === 1, 1)).as("fn"),
+      count(when(col("agreement") === 2, 1)).as("fp"),
+      count(when(col("agreement") === 3, 1)).as("tp"),
+      count(when(col("agreement") === 4, 1)).as("masked"))
+    counted.select(Seq(col("tn"), col("fn"), col("fp"), col("tp"), col("masked")) ++
+      metricCols(col("tn"), col("fn"), col("fp"), col("tp")): _*)
+  }
+
+  /** Multi-benchmark master-metrics assembly (q56) — the engine's form of
+    * `tools/synthesize_test_cases.py:22-293`: evaluate the SAME predicted
+    * mosaic against every (benchmark_source × magnitude) combination and melt
+    * the per-combo contingency metrics into one long master table (one row
+    * per combo, metric columns — the master CSV's shape). Each synthetic
+    * benchmark source shifts the extent hash; each magnitude widens the
+    * benchmark extent and moves the predicted wet threshold. ONE pass over
+    * the mosaic: all combos are conditional aggregates of the same scan. */
+  val MasterCombos: Seq[(String, String, Int, Int, Double)] = Seq(
+    // (benchmark_source, magnitude, hash shift k, bench width w, pred threshold t)
+    ("ble", "100yr", 0, 4, 0.5),
+    ("ble", "500yr", 0, 6, 0.0),
+    ("nws", "100yr", 7, 4, 0.5),
+    ("nws", "500yr", 7, 6, 0.0))
+
+  def comboAgreement(cell: Column, depthMax: Column, k: Int, w: Int, t: Double): Column =
+    when(isMasked(cell), lit(4))
+      .otherwise((depthMax > t).cast("int") * 2 +
+        ((cellRow(cell) * 31 + cellCol(cell) * 17 + k) % 10 < w).cast("int"))
+      .cast("int")
+
+  def masterMetrics(mosaic: DataFrame, version: String = "graft_r2"): DataFrame = {
+    val countExprs = MasterCombos.flatMap { case (src, mag, k, w, t) =>
+      val agr = comboAgreement(col("cell"), col("depth_max"), k, w, t)
+      (0 to 4).map(c => count(when(agr === c, 1)).as(s"c${c}_${src}_$mag"))
+    }
+    val counted = mosaic.agg(countExprs.head, countExprs.tail: _*)
+    val rows = MasterCombos.map { case (src, mag, _, _, _) =>
+      def c(i: Int) = col(s"c${i}_${src}_$mag")
+      struct(Seq(lit(version).as("version"), lit(src).as("benchmark_source"),
+        lit(mag).as("magnitude"), c(0).as("tn"), c(1).as("fn"), c(2).as("fp"),
+        c(3).as("tp"), c(4).as("masked")) ++
+        metricCols(c(0), c(1), c(2), c(3)): _*)
+    }
+    counted.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 }
