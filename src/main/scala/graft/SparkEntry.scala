@@ -125,9 +125,10 @@ object SparkEntry {
     "q22_srp_buckets" -> ((s, dir) =>
       AnnSearch.srpBuckets(s.read.parquet(s"$dir/embeddings.parquet"))),
 
-    // embedding-cosine near-dup pairs: intra-bucket candidates ≥ threshold
+    // embedding-cosine near-dup pairs: adaptive multi-table SRP candidates
+    // (bit count from corpus size → bucket population ≈ constant) ≥ threshold
     "q49_embed_neardup" -> ((s, dir) =>
-      AnnSearch.lshBucketTopK(s.read.parquet(s"$dir/embeddings.parquet"))
+      AnnSearch.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"))
         .filter(col("cos") >= 0.35)
         .select(col("va"), col("vb"), col("cos"))),
 
@@ -643,25 +644,53 @@ object SparkEntry {
     },
 
     "q49_embed_neardup" -> {
-      val sums = (0 until 8).map(b =>
-        s"sum(q * ((((pos + ${b * 37 + 1}) * 2654435761 >> 13) & 1) * 2 - 1)) AS p$b").mkString(",\n      ")
-      val bucket = (0 until 8).map(b => s"CASE WHEN p$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-      withCtes(qt, nrm,
-        s"""bkt AS (
+      // adaptive nBits (masked to the first `nb` of 16 bit-sums, nb from the
+      // corpus count — the same integer formula as AnnSearch.adaptiveBits)
+      // × 8 hyperplane tables, mirroring AnnSearch.nearDupPairs
+      val tables = 8
+      def bktCte(t: Int): String = {
+        val sums = (0 until 16).map(b =>
+          s"sum(q * ((((pos + ${t * 1009 + b * 37 + 1}) * 2654435761 >> 13) & 1) * 2 - 1)) AS p$b")
+          .mkString(",\n        ")
+        val bucket = (0 until 16).map(b =>
+          s"CASE WHEN $b < (SELECT nb FROM nbv) AND p$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        s"""bkt$t AS (
            |  SELECT vec_id, CAST($bucket AS BIGINT) AS bucket
            |  FROM (SELECT vec_id,
            |        $sums
-           |        FROM qt GROUP BY vec_id))""".stripMargin,
-        """cp AS (
-          |  SELECT a.vec_id AS va, b.vec_id AS vb
-          |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-          |)""".stripMargin,
+           |        FROM qt GROUP BY vec_id))""".stripMargin
+      }
+      // capped window pairs: rank within bucket by a per-table hash order,
+      // each vector pairs with its next 8 neighbors (equi-join on rank+k)
+      val rankCtes = (0 until tables).map(t =>
+        s"""rt$t AS (
+           |  SELECT vec_id, bucket,
+           |    row_number() OVER (PARTITION BY bucket
+           |      ORDER BY ((vec_id + ${t * 7919}) * 2654435761) % 1000000007) AS rn
+           |  FROM bkt$t)""".stripMargin)
+      val unions = (0 until tables).map(t =>
+        s"""SELECT least(a.vec_id, b.vec_id) AS va, greatest(a.vec_id, b.vec_id) AS vb
+           |    FROM (SELECT vec_id, bucket, rn + k.k AS rn
+           |          FROM rt$t, generate_series(1, 8) k(k)) a
+           |    JOIN rt$t b ON a.bucket = b.bucket AND a.rn = b.rn""".stripMargin)
+        .mkString("\n    UNION ALL\n    ")
+      withCtes(Seq(qt, nrm,
+        """nbv AS (
+          |  SELECT CASE WHEN m <= 1 THEN 2 ELSE greatest(2, least(16, length(bin(m - 1)))) END AS nb
+          |  FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)
+          |)""".stripMargin) ++ (0 until tables).map(bktCte) ++ rankCtes ++ Seq(
+        s"""cp AS (
+           |  SELECT DISTINCT va, vb FROM (
+           |    $unions
+           |  )
+           |)""".stripMargin,
         """dts AS (
           |  SELECT c.va, c.vb, CAST(sum(x.q * y.q) AS BIGINT) AS dot
           |  FROM cp c JOIN qt x ON x.vec_id = c.va
           |  JOIN qt y ON y.vec_id = c.vb AND y.pos = x.pos
           |  GROUP BY c.va, c.vb
-          |)""".stripMargin)(
+          |)""".stripMargin): _*)(
         """SELECT d.va, d.vb,
           |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
           |FROM dts d JOIN nrm na ON d.va = na.vec_id JOIN nrm nb ON d.vb = nb.vec_id

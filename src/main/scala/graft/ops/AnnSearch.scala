@@ -16,9 +16,9 @@ import org.apache.spark.sql.expressions.Window
   * Two paths:
   *  - [[bruteTopK]]: exact top-k by quantized cosine — the baseline. Long-form
   *    (vec, pos, val) join so partial aggregation handles the fan-out.
-  *  - [[lshBucketTopK]]: scale path — sign-random-projection buckets (SimHash
-  *    over quantized coordinates) prune candidates before the exact rerank;
-  *    only intra-bucket pairs are scored.
+  *  - [[srpTopK]] / [[nearDupPairs]]: scale paths — sign-random-projection
+  *    buckets (adaptive bit count, multiple tables) prune candidates before
+  *    the exact rerank; only intra-bucket pairs are scored.
   */
 object AnnSearch {
 
@@ -112,16 +112,57 @@ object AnnSearch {
       .select(col("qvec"), col("rank"), col("vec"), col("cos"))
   }
 
-  /** Bucketed ANN: exact cosine only within SRP buckets (plus rank). */
-  def lshBucketTopK(emb: DataFrame, k: Int = 5): DataFrame = {
-    val b = srpBuckets(emb)
+  /** Adaptive SRP bit count: the smallest b with 2^b ≥ ceil(n/targetBucket),
+    * clamped to [2, 16] — so expected bucket population stays ≈ targetBucket
+    * as the corpus grows and intra-bucket pair work stays ~n·targetBucket
+    * (LINEAR in n) instead of the O(n²/2^bits) a fixed bit count degrades to.
+    * Mirrored in the oracle from the same count via length(bin(m−1)). */
+  def adaptiveBits(n: Long, targetBucket: Int): Int = {
+    val m = (n + targetBucket - 1) / targetBucket
+    if (m <= 1) 2
+    else math.max(2, math.min(16, 64 - java.lang.Long.numberOfLeadingZeros(m - 1)))
+  }
+
+  /** Candidate near-duplicate pairs: union over `tables` independent SRP
+    * hyperplane families of CAPPED intra-bucket pairs, with the bit count
+    * chosen from the corpus size ([[adaptiveBits]]).
+    *
+    * Two mechanisms bound the work:
+    *  - adaptive bits keep EXPECTED bucket population ≈ targetBucket, but
+    *    co-directional clusters share every SRP sign and cannot be split by
+    *    more hyperplanes;
+    *  - so within each bucket every vector pairs only with its next `cap`
+    *    neighbors in a per-table hash order — pair count ≤ tables·cap·n,
+    *    STRICTLY linear, as an equi-join on (bucket, rank+k) (no m² blowup
+    *    even transiently). Each table uses a different order, so a pair
+    *    missed in one table's window is recovered by another (measured in
+    *    AnnSpec); only degenerate mega-clusters lose recall, and those are
+    *    exact-dup territory anyway. */
+  def nearDupCandidates(emb: DataFrame, targetBucket: Int = 32, tables: Int = 8,
+      cap: Int = 8): DataFrame = {
+    val nBits = adaptiveBits(emb.count(), targetBucket)
+    (0 until tables).map { t =>
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(((col("vec_id") + lit(t * 7919)) * lit(2654435761L)) % lit(1000000007L))
+      val r = srpBuckets(emb, nBits, t).withColumn("rn", row_number().over(w))
+      val probe = r.withColumn("k", explode(sequence(lit(1), lit(cap))))
+        .select(col("bucket"), col("vec_id").as("ia"), (col("rn") + col("k")).as("rn"))
+      probe.join(r.select(col("bucket"), col("vec_id").as("ib"), col("rn")), Seq("bucket", "rn"))
+        .select(least(col("ia"), col("ib")).as("va"), greatest(col("ia"), col("ib")).as("vb"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs (q49 scale path): adaptive multi-table
+    * SRP candidates, then the exact quantized-cosine rerank. Replaces the
+    * round-1 fixed-8-bit single-table form whose intra-bucket pair count grew
+    * O(n²/256). */
+  def nearDupPairs(emb: DataFrame, targetBucket: Int = 32, tables: Int = 8): DataFrame = {
+    val cand = nearDupCandidates(emb, targetBucket, tables)
     val q = quantized(emb).cache()
     val n = norms(q)
-    val withB = q.join(b, "vec_id")
-    val left = withB.select(col("bucket"), col("vec_id").as("va"), col("pos"), col("q").as("qa"))
-    val right = withB.select(col("bucket"), col("vec_id").as("vb"), col("pos"), col("q").as("qb"))
-    val dots = left.join(right, Seq("bucket", "pos"))
-      .filter(col("va") < col("vb"))
+    val dots = cand
+      .join(q.select(col("vec_id").as("va"), col("pos"), col("q").as("qa")), "va")
+      .join(q.select(col("vec_id").as("vb"), col("pos"), col("q").as("qb")), Seq("vb", "pos"))
       .groupBy(col("va"), col("vb"))
       .agg(sum(col("qa") * col("qb")).as("dot"))
     dots

@@ -55,12 +55,37 @@ class AnnSpec extends SparkTestBase {
     val b = AnnSearch.srpBuckets(emb).collect()
     assert(b.length == emb.count())
     b.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) < 256))
-    // bucketed ANN only scores intra-bucket pairs and agrees with brute cosine
-    val bucketCos = AnnSearch.lshBucketTopK(emb).filter(col("va") % 250 === 0)
+    // near-dup rerank only scores candidate pairs and agrees with brute cosine
+    val pairCos = AnnSearch.nearDupPairs(emb).filter(col("va") % 250 === 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val brute = AnnSearch.bruteTopK(emb, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val common = bucketCos.keySet.intersect(brute.keySet)
-    common.foreach(k => assert(bucketCos(k) == brute(k)))
+    val common = pairCos.keySet.intersect(brute.keySet)
+    common.foreach(k => assert(pairCos(k) == brute(k)))
+  }
+
+  test("near-dup candidate generation is sub-quadratic: 4x corpus => ~4x pairs, +2 bits") {
+    // 4x the corpus with NEW vectors from the same distribution (coordinate
+    // rotations of the originals — distinct directions, same norms/cluster
+    // structure). Identical clones would be the wrong test: true duplicates
+    // legitimately produce all their pairs, which is super-linear by itself.
+    val n1 = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val emb4 = (0 until 4).map { s =>
+      val rot =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s * 16 + 1, dim - s * 16),
+          slice(col("embedding"), 1, s * 16))
+      emb.select((col("vec_id") + lit(s * 1000000L)).as("vec_id"), rot.as("embedding"))
+    }.reduce(_ unionByName _)
+    assert(AnnSearch.adaptiveBits(4 * n1, 32) == AnnSearch.adaptiveBits(n1, 32) + 2)
+    val c1 = AnnSearch.nearDupCandidates(emb).count()
+    val c4 = AnnSearch.nearDupCandidates(emb4).count()
+    // the capped-window design bounds candidates by tables*cap*n — assert the
+    // absolute linear bound AND the growth ratio (quadratic would be 16x)
+    assert(c1 <= 8L * 8 * n1, s"c1=$c1 exceeds the tables*cap*n bound")
+    assert(c4 <= 8L * 8 * 4 * n1, s"c4=$c4 exceeds the tables*cap*n bound")
+    assert(c4 <= 6 * c1, s"candidate pairs grew ${c4.toDouble / c1}x for a 4x corpus")
+    assert(c4 >= c1, "4x corpus should not shrink candidates")
   }
 }
