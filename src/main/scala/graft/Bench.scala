@@ -36,8 +36,8 @@ object Bench {
       return (row.getLong(0), (System.nanoTime() - t0) / 1e9)
     }
     val mosaic = Inundate.mosaic(Inundate.tiles(spark, pts))
-    val agr = mosaic.select(
-      when(Agreement.isMasked(col("cell")), lit(4))
+    val agr = Agreement.withMaskFlag(spark, mosaic).select(
+      when(col("mskd") === 1, lit(4))
         .otherwise((col("depth_max") > 0).cast("int") * 2 + Agreement.benchWet(col("cell")))
         .as("agreement"),
       col("n_points"))

@@ -85,18 +85,34 @@ object OracleSql {
 
   val mos: String = "mos AS (SELECT cell, max(depth) AS depth_max FROM til GROUP BY cell)"
 
+  /** Exclusion mask rectangles — mirror of [[graft.synth.Synth.maskList]]. */
+  val mrects: String =
+    """mrects AS (
+      |  SELECT ((k * 37 + 5) % 150) - CAST(85.0 AS DOUBLE) AS lat_min,
+      |         (((k * 37 + 5) % 150) - CAST(85.0 AS DOUBLE)) + (3 + k % 4) AS lat_max,
+      |         ((k * 73 + 11) % 330) - CAST(175.0 AS DOUBLE) AS lng_min,
+      |         (((k * 73 + 11) % 330) - CAST(175.0 AS DOUBLE)) + (4 + k % 5) AS lng_max
+      |  FROM generate_series(0, 39) t(k)
+      |)""".stripMargin
+
   /** Agreement class per cell: 0 TN / 1 FN / 2 FP / 3 TP / 4 masked
-    * (`tools_shared_functions.py:400-406`); benchmark extent + exclusion mask
-    * are pure row/col hashes of the cell id. */
+    * (`tools_shared_functions.py:400-406`); benchmark extent is a row/col
+    * hash; the exclusion mask is the REAL polygon test — centroid inside any
+    * mrects rectangle (closed form of the engine's cover + ray-cast PIP). */
   val agr: String =
     """agr AS (
       |  SELECT cell,
-      |    CAST(CASE WHEN (((cell // 268435456) % 268435456) * 29 + (cell % 268435456) * 13) % 50 = 0 THEN 4
+      |    CAST(CASE WHEN EXISTS (SELECT 1 FROM mrects m
+      |           WHERE clat >= m.lat_min AND clat < m.lat_max
+      |             AND clng >= m.lng_min AND clng < m.lng_max) THEN 4
       |         ELSE (CASE WHEN depth_max > 0.0 THEN 1 ELSE 0 END) * 2
       |              + CASE WHEN (((cell // 268435456) % 268435456) * 31 + (cell % 268435456) * 17) % 10 < 4
       |                THEN 1 ELSE 0 END
       |    END AS INT) AS agreement
-      |  FROM mos
+      |  FROM (SELECT cell, depth_max,
+      |          (((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS clat,
+      |          ((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS clng
+      |        FROM mos)
       |)""".stripMargin
 
   // ---- web-text corpus + dedup family ----

@@ -77,11 +77,11 @@ object SparkEntry {
 
     // §3.3 agreement raster: predicted vs benchmark per cell
     "q11_agreement" -> ((s, dir) =>
-      Agreement.agreement(Inundate.run(s, dir)).select(col("cell"), col("agreement"))),
+      Agreement.agreement(s, Inundate.run(s, dir)).select(col("cell"), col("agreement"))),
 
     // A7+A8 contingency counts + CSI/TPR/FAR/MCC/ACC/F1/bias
     "q12_metrics" -> ((s, dir) =>
-      Agreement.metrics(Agreement.agreement(Inundate.run(s, dir)))),
+      Agreement.metrics(Agreement.agreement(s, Inundate.run(s, dir)))),
 
     // ---- training-data pipeline ops over the web-text corpus ----
 
@@ -461,10 +461,10 @@ object SparkEntry {
         |  count(*) AS n, max(hand) AS mx
         |FROM pts GROUP BY 1""".stripMargin),
 
-    "q11_agreement" -> withCtes(pts, asg, ht, fc, stg, til, mos, agr)(
+    "q11_agreement" -> withCtes(pts, asg, ht, fc, stg, til, mos, mrects, agr)(
       "SELECT cell, agreement FROM agr"),
 
-    "q12_metrics" -> withCtes(pts, asg, ht, fc, stg, til, mos, agr,
+    "q12_metrics" -> withCtes(pts, asg, ht, fc, stg, til, mos, mrects, agr,
       """c AS (
         |  SELECT count(CASE WHEN agreement = 0 THEN 1 END) AS tn,
         |         count(CASE WHEN agreement = 1 THEN 1 END) AS fn,

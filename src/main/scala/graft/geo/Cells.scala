@@ -114,6 +114,18 @@ object Cells {
     lit(resolution.toLong << RES_BITS) + r * lit(1L << ROW_BITS) + c
   }
 
+  /** Cell-centroid latitude/longitude as Columns (codegen'd; formula mirrored
+    * textually in the oracle). Centroids are odd multiples of half the cell
+    * pitch, so they never land on integer-degree polygon edges. */
+  def centroidLatCol(cell: Column, resolution: Int): Column = {
+    val rowC = shiftright(cell, ROW_BITS.toInt).bitwiseAND(lit((1L << (RES_BITS - ROW_BITS)) - 1L))
+    (rowC + lit(0.5)) / lit(rows(resolution).toDouble) * lit(180.0) - lit(90.0)
+  }
+  def centroidLngCol(cell: Column, resolution: Int): Column = {
+    val colC = cell.bitwiseAND(lit((1L << ROW_BITS) - 1L))
+    (colC + lit(0.5)) / lit(cols(resolution).toDouble) * lit(360.0) - lit(180.0)
+  }
+
   /** Exact long bit arithmetic — cell ids exceed 2^53, so no double math here. */
   def cellToParentCol(cell: Column, childRes: Int, parentRes: Int): Column = {
     val shift = childRes - parentRes

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geo.Cells
 
@@ -25,15 +25,41 @@ object Agreement {
   def benchWet(cell: Column): Column =
     ((cellRow(cell) * 31 + cellCol(cell) * 17) % 10 < 4).cast("int")
 
-  /** Exclusion mask per cell — the masked-area analog. */
+  /** Legacy hash exclusion mask — kept for the multi-benchmark combos (q56),
+    * where every combo derives a synthetic extent family from the cell id.
+    * The evaluation path proper ([[agreement]]) masks by REAL exclusion
+    * polygons ([[graft.synth.Synth.maskCover]]). */
   def isMasked(cell: Column): Column =
     (cellRow(cell) * 29 + cellCol(cell) * 13) % 50 === 0
 
-  /** mosaic(cell, depth_max, …) → (cell, agreement). */
-  def agreement(mosaic: DataFrame): DataFrame =
-    mosaic.select(
+  /** mosaic + `mskd` flag (1 ⇔ the cell centroid falls inside any exclusion
+    * mask polygon): centroid → coarse-cell broadcast join against the mask
+    * cover → codegen'd PIP, re-aggregated per cell. The mosaic is already
+    * hash-partitioned by cell from its own groupBy and the mask join is
+    * broadcast, so the re-aggregation reuses that partitioning — no extra
+    * exchange at any scale. All non-cell columns are carried through with
+    * max() (they are constant per cell). */
+  def withMaskFlag(spark: SparkSession, mosaic: DataFrame): DataFrame = {
+    import graft.geo.{Cells, PointInPolygon}
+    val wc = mosaic
+      .withColumn("clat", Cells.centroidLatCol(col("cell"), Cells.BaseRes))
+      .withColumn("clng", Cells.centroidLngCol(col("cell"), Cells.BaseRes))
+      .withColumn("ccell", Cells.cellToParentCol(col("cell"), Cells.BaseRes, Cells.CoarseRes))
+    val carried = mosaic.columns.filter(_ != "cell").map(c => max(col(c)).as(c))
+    val mskd = max(when(col("ring").isNotNull &&
+      PointInPolygon.stContains(col("ring"), col("clng"), col("clat")), 1).otherwise(0)).as("mskd")
+    wc.join(broadcast(graft.synth.Synth.maskCover(spark)), Seq("ccell"), "left")
+      .groupBy(col("cell"))
+      .agg((carried :+ mskd).head, (carried :+ mskd).tail: _*)
+  }
+
+  /** mosaic(cell, depth_max, …) → (cell, agreement), with the exclusion-mask
+    * class (4) decided by the REAL mask polygons
+    * (`tools_shared_functions.py:457-509`), not a hash. */
+  def agreement(spark: SparkSession, mosaic: DataFrame): DataFrame =
+    withMaskFlag(spark, mosaic).select(
       col("cell"),
-      when(isMasked(col("cell")), lit(4))
+      when(col("mskd") === 1, lit(4))
         .otherwise((col("depth_max") > 0).cast("int") * 2 + benchWet(col("cell")))
         .cast("int").as("agreement"))
 

@@ -153,6 +153,38 @@ object Synth {
     }.toDF("ccell", "hydroid", "feature_id", "huc8", "lake_id", "order_", "ring")
   }
 
+  // ------------------------------------------------------- evaluation masks
+
+  final case class MaskPoly(mask_id: Int, ring: Array[Double])
+
+  /** Exclusion mask polygons for the evaluation lifecycle — the analog of the
+    * reference's levee/waterbody exclusion layers
+    * (`tools_shared_functions.py:457-509`): 40 deterministic integer-degree
+    * rectangles (~1.7 % of the globe). Integer-degree edges + the cell-grid's
+    * dyadic centroids mean no centroid ever lands ON a mask boundary, so
+    * ray-cast containment and the oracle's closed-form bounds compare agree
+    * exactly. */
+  lazy val maskList: IndexedSeq[MaskPoly] =
+    for (k <- 0 until 40) yield {
+      val latMin = ((k * 37 + 5) % 150) - 85.0
+      val latMax = latMin + (3 + k % 4)
+      val lngMin = ((k * 73 + 11) % 330) - 175.0
+      val lngMax = lngMin + (4 + k % 5)
+      MaskPoly(k, Array(lngMin, latMin, lngMax, latMin, lngMax, latMax, lngMin, latMax))
+    }
+
+  /** (ccell, mask_id, ring) cover table — broadcast side of the mask join
+    * (~240 rows). */
+  def maskCover(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    maskList.flatMap { p =>
+      val poly = Geom.Poly(p.mask_id, p.ring)
+      val (latMin, latMax, lngMin, lngMax) = poly.bbox
+      Cells.cover(latMin, math.nextDown(latMax), lngMin, math.nextDown(lngMax), Cells.CoarseRes)
+        .map(cc => (cc, p.mask_id, p.ring))
+    }.toDF("ccell", "mask_id", "ring")
+  }
+
   // ---------------------------------------------------- hydrotable + forecast
 
   val StageKnots = 84

@@ -69,7 +69,7 @@ class ScaleBehaviorSpec extends SparkTestBase {
   test("csv and json sinks round-trip the metrics table") {
     val dir = Files.createTempDirectory("graft_sinks").toString
     val metrics = graft.ops.Agreement.metrics(
-      graft.ops.Agreement.agreement(Inundate.run(spark, sf0001)))
+      graft.ops.Agreement.agreement(spark, Inundate.run(spark, sf0001)))
     metrics.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
     metrics.write.mode("overwrite").json(s"$dir/json")
     val backJson = spark.read.json(s"$dir/json")
