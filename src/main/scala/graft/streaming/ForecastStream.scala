@@ -59,6 +59,30 @@ object ForecastStream {
       .agg(count(lit(1)).as("n_pages"), sum(col("wet")).as("n_wet"))
   }
 
+  val gageSchema: StructType = StructType(Seq(
+    StructField("feature_id", LongType), StructField("obs_stage", DoubleType),
+    StructField("obs_ts", TimestampType)))
+
+  /** Stream–stream inner join (forecast stream ⋈ gage-observation stream):
+    * each forecast pairs with the observations of the same feature arriving
+    * within [event_ts, event_ts + 10 min] — the canonical watermarked
+    * interval join, so both sides' state stores are bounded (rows older than
+    * watermark + interval are evicted). This is the streaming form of the
+    * reference's forecast-vs-USGS-gage comparison that its batch eval does
+    * offline (`tools/tools_shared_functions.py` gage paths). */
+  def forecastObsJoin(spark: SparkSession, fcDir: String, obsDir: String): DataFrame = {
+    val fc = spark.readStream.schema(forecastSchema).parquet(fcDir)
+      .withWatermark("event_ts", "20 minutes")
+    val obs = spark.readStream.schema(gageSchema).parquet(obsDir)
+      .withWatermark("obs_ts", "20 minutes")
+    fc.join(obs,
+      fc("feature_id") === obs("feature_id") &&
+        col("obs_ts") >= col("event_ts") &&
+        col("obs_ts") <= col("event_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(fc("feature_id").as("feature_id"), col("discharge"), col("obs_stage"),
+        col("event_ts"), col("obs_ts"))
+  }
+
   final case class FeatureState(featureId: Long, maxQ: Double, n: Long)
 
   /** Stateful running max discharge per feature across all micro-batches

@@ -71,6 +71,28 @@ class ForecastStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: forecast x gage observations within 10 min") {
+    import spark.implicits._
+    val fcDir = Files.createTempDirectory("graft_ss_fc").toString
+    val obsDir = Files.createTempDirectory("graft_ss_obs").toString
+    writeBatch(fcDir, Seq((1000001L, 5.0, 1000L), (1000002L, 7.0, 1000L)))
+    Seq((1000001L, 1.2, 1300L),   // within 10 min of the feature-1 forecast
+        (1000001L, 9.9, 2000L),   // too late (> 10 min)
+        (1000003L, 3.3, 1100L))   // no matching forecast feature
+      .toDF("feature_id", "obs_stage", "secs")
+      .select(col("feature_id"), col("obs_stage"),
+        timestamp_seconds(col("secs")).as("obs_ts"))
+      .coalesce(1).write.mode("append").parquet(obsDir)
+    val q = ForecastStream.forecastObsJoin(spark, fcDir, obsDir)
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT feature_id, discharge, obs_stage FROM ssjoin").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1000001L, 5.0, 1.2)))
+    } finally q.stop()
+  }
+
   test("stateful running max across micro-batches (mapGroupsWithState)") {
     val dir = Files.createTempDirectory("graft_stream3").toString
     writeBatch(dir, Seq((7L, 3.0, 1000L)))
