@@ -388,6 +388,11 @@ object SparkEntry {
           col("k.q").as("discharge_cms"))
     }),
 
+    // inundation-extent dissolve: wet cells → per-extent bbox + boundary
+    // count + area (mosaic_inundation.py:153-188 polygonize/dissolve analog)
+    "q58_extent_dissolve" -> ((s, dir) =>
+      graft.pipeline.Extents.dissolve(Inundate.run(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1100,6 +1105,32 @@ object SparkEntry {
 
     "q57_src_json" -> withCtes(srcg)(
       "SELECT hydroid, CAST(i AS INT) AS i, stage, discharge_cms FROM srcg WHERE hydroid % 199 = 0"),
+
+    "q58_extent_dissolve" -> withCtes(pts, asg, ht, fc, stg, til,
+      """mos58 AS (
+        |  SELECT cell, max(CAST(CASE WHEN depth > 0 THEN hydroid ELSE -hydroid END AS INT)) AS clazz
+        |  FROM til GROUP BY cell
+        |)""".stripMargin,
+      "wet58 AS (SELECT cell, clazz FROM mos58 WHERE clazz > 0)",
+      """nbr58 AS (
+        |  SELECT cell, clazz,
+        |    12 * 72057594037927936 + (((cell // 268435456) % 268435456) + dr) * 268435456
+        |      + ((cell % 268435456) + dc) AS ncell
+        |  FROM wet58 CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dr, dc)
+        |)""".stripMargin,
+      """deg58 AS (
+        |  SELECT n.cell, n.clazz, count(w.cell) AS nn
+        |  FROM nbr58 n LEFT JOIN wet58 w ON n.ncell = w.cell AND n.clazz = w.clazz
+        |  GROUP BY n.cell, n.clazz
+        |)""".stripMargin)(
+      """SELECT clazz AS hydroid, count(*) AS n_cells,
+        |  count(CASE WHEN nn < 4 THEN 1 END) AS n_boundary,
+        |  min((((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0) AS lat_min,
+        |  max((((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0) AS lat_max,
+        |  min(((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0) AS lng_min,
+        |  max(((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0) AS lng_max,
+        |  count(*) * (CAST(180.0 AS DOUBLE) / 4096.0) * (CAST(360.0 AS DOUBLE) / 8192.0) AS area_deg2
+        |FROM deg58 GROUP BY clazz""".stripMargin),
 
     "q41_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
