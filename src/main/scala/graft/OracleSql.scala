@@ -204,6 +204,30 @@ object OracleSql {
       |  WHERE rn = 1
       |)""".stripMargin
 
+  /** Synthetic calibration observations + per-obs coefficients — mirrors of
+    * [[graft.ops.Calibration.observations]] / [[graft.ops.Calibration.obsCoefs]]. */
+  val obsu: String =
+    """obsu AS (
+      |  SELECT hydroid, j.j AS j, (hydroid * 7 + j.j * 31) % 84 AS ki
+      |  FROM (SELECT a.x * 144 + b.x AS hydroid
+      |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)),
+      |       generate_series(0, 2) j(j)
+      |  WHERE hydroid % 23 < 2 AND hydroid % 97 <> 0
+      |)""".stripMargin
+
+  val obsq: String =
+    """obsq AS (
+      |  SELECT o.hydroid, o.j, g.discharge_cms AS qsrc, g.channel_n, g.overbank_n,
+      |    g.discharge_cms * (((o.hydroid * 31 + o.j * 17) % 1000) / 100.0 + CAST(0.05 AS DOUBLE)) AS qobs
+      |  FROM obsu o JOIN srcg g ON o.hydroid = g.hydroid AND o.ki = g.i
+      |)""".stripMargin
+
+  val coefq: String =
+    """coefq AS (
+      |  SELECT *, coef * channel_n AS chn, coef * overbank_n AS obn
+      |  FROM (SELECT *, qobs / qsrc AS coef FROM obsq)
+      |)""".stripMargin
+
   /** Newton-cbrt chain CTEs for the Manning recompute: i0 seeds yc/yo with
     * sqrt(sqrt(x²)), i1..i8 iterate y ← (2y + x²/y²)/3 — matching
     * [[graft.ops.Calibration]]'s fixed-iteration chain step for step. */

@@ -393,6 +393,20 @@ object SparkEntry {
     "q58_extent_dissolve" -> ((s, dir) =>
       graft.pipeline.Extents.dissolve(Inundate.run(s, dir))),
 
+    // the COMPLETE master-CSV metric family (~36 columns) from one agreement
+    // raster (tools_shared_functions.py:277-380)
+    "q59_full_metrics" -> ((s, dir) =>
+      Agreement.fullMetrics(Agreement.agreement(s, Inundate.run(s, dir)))),
+
+    // A9 pivot on the real calibration table: per-HydroID coefficient per
+    // observation slot (df_nvalues pivot_table analog,
+    // src_roughness_optimization.py:313-316)
+    "q60_calb_pivot" -> ((s, _) =>
+      Calibration.obsCoefs(s).filter(col("qsrc") > 0.0)
+        .groupBy(col("hydroid")).pivot("j", Seq(0, 1, 2)).agg(min(col("coef")))
+        .select(col("hydroid"), col("0").as("coef_j0"), col("1").as("coef_j1"),
+          col("2").as("coef_j2"))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -989,23 +1003,7 @@ object SparkEntry {
         |             THEN wa_ob * yo * sqrt(slope) / overbank_n ELSE CAST(0.0 AS DOUBLE) END AS q_ob
         |      FROM i8)""".stripMargin),
 
-    "q54_roughness" -> withCtes(srcg,
-      """obsu AS (
-        |  SELECT hydroid, j.j AS j, (hydroid * 7 + j.j * 31) % 84 AS ki
-        |  FROM (SELECT a.x * 144 + b.x AS hydroid
-        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)),
-        |       generate_series(0, 2) j(j)
-        |  WHERE hydroid % 23 < 2 AND hydroid % 97 <> 0
-        |)""".stripMargin,
-      """obsq AS (
-        |  SELECT o.hydroid, o.j, g.discharge_cms AS qsrc, g.channel_n, g.overbank_n,
-        |    g.discharge_cms * (((o.hydroid * 31 + o.j * 17) % 1000) / 100.0 + CAST(0.05 AS DOUBLE)) AS qobs
-        |  FROM obsu o JOIN srcg g ON o.hydroid = g.hydroid AND o.ki = g.i
-        |)""".stripMargin,
-      """coefq AS (
-        |  SELECT *, coef * channel_n AS chn, coef * overbank_n AS obn
-        |  FROM (SELECT *, qobs / qsrc AS coef FROM obsq)
-        |)""".stripMargin,
+    "q54_roughness" -> withCtes(srcg, obsu, obsq, coefq,
       """medq AS (
         |  SELECT hydroid, sum(coef) / count(*) AS calb_hydroid
         |  FROM (SELECT hydroid, coef,
@@ -1105,6 +1103,70 @@ object SparkEntry {
 
     "q57_src_json" -> withCtes(srcg)(
       "SELECT hydroid, CAST(i AS INT) AS i, stage, discharge_cms FROM srcg WHERE hydroid % 199 = 0"),
+
+    "q59_full_metrics" -> {
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      val tot = "CAST(tn + fn + fp + tp AS DOUBLE)"
+      val aref = s"(${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) / $tot"
+      val area = "CAST(2.5E7 AS DOUBLE)"
+      val km = "CAST(1000000.0 AS DOUBLE)"
+      withCtes(pts, asg, ht, fc, stg, til, mos, mrects, agr,
+        """c AS (
+          |  SELECT count(CASE WHEN agreement = 0 THEN 1 END) AS tn,
+          |         count(CASE WHEN agreement = 1 THEN 1 END) AS fn,
+          |         count(CASE WHEN agreement = 2 THEN 1 END) AS fp,
+          |         count(CASE WHEN agreement = 3 THEN 1 END) AS tp,
+          |         count(CASE WHEN agreement = 4 THEN 1 END) AS masked
+          |  FROM agr
+          |)""".stripMargin)(
+        s"""SELECT tn, fn, fp, tp, masked,
+           |  tn + fn + fp + tp AS contingency_tot_count,
+           |  ${d("tp")} / (${d("tp")} + ${d("fp")} + ${d("fn")}) AS csi,
+           |  ${d("tp")} / (${d("tp")} + ${d("fn")}) AS tpr,
+           |  ${d("fp")} / (${d("tp")} + ${d("fp")}) AS far,
+           |  (${d("tp")} * ${d("tn")} - ${d("fp")} * ${d("fn")})
+           |    / sqrt((${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) * (${d("tn")} + ${d("fn")})) AS mcc,
+           |  (${d("tp")} + ${d("tn")}) / (${d("tp")} + ${d("tn")} + ${d("fp")} + ${d("fn")}) AS acc,
+           |  ${d("tp")} * 2 / (${d("tp")} * 2 + ${d("fp")} + ${d("fn")}) AS f1,
+           |  (${d("tp")} + ${d("fp")}) / (${d("tp")} + ${d("fn")}) AS bias,
+           |  ${d("tn")} / (${d("tn")} + ${d("fp")}) AS tnr,
+           |  ${d("fn")} / (${d("fn")} + ${d("tp")}) AS pnd,
+           |  ${d("tp")} / (${d("tp")} + ${d("fp")}) AS ppv,
+           |  ${d("tn")} / (${d("tn")} + ${d("fn")}) AS npv,
+           |  (${d("tp")} / (${d("tp")} + ${d("fn")}) + ${d("tn")} / (${d("tn")} + ${d("fp")})) / CAST(2.0 AS DOUBLE) AS bal_acc,
+           |  (${d("tp")} + ${d("fn")}) / $tot AS prevalence,
+           |  (${d("tp")} - $aref) / (${d("tp")} + ${d("fp")} + ${d("fn")} - $aref) AS equitable_threat_score,
+           |  ${d("tp")} / $tot * 100 AS tp_perc,
+           |  ${d("fp")} / $tot * 100 AS fp_perc,
+           |  ${d("tn")} / $tot * 100 AS tn_perc,
+           |  ${d("fn")} / $tot * 100 AS fn_perc,
+           |  (${d("tp")} + ${d("fp")}) / $tot * 100 AS pred_positive_perc,
+           |  (${d("tn")} + ${d("fn")}) / $tot * 100 AS pred_negative_perc,
+           |  (${d("tp")} + ${d("fn")}) / $tot * 100 AS obs_positive_perc,
+           |  (${d("tn")} + ${d("fp")}) / $tot * 100 AS obs_negative_perc,
+           |  (${d("tp")} + ${d("fp")}) / $tot * 100 - (${d("tp")} + ${d("fn")}) / $tot * 100 AS positive_diff_perc,
+           |  ${d("masked")} / ($tot + ${d("masked")}) * 100 AS masked_perc,
+           |  $area AS cell_area_m2,
+           |  ${d("tp")} * $area / $km AS tp_area_km2,
+           |  ${d("fp")} * $area / $km AS fp_area_km2,
+           |  ${d("tn")} * $area / $km AS tn_area_km2,
+           |  ${d("fn")} * $area / $km AS fn_area_km2,
+           |  $tot * $area / $km AS contingency_tot_area_km2,
+           |  (${d("tp")} + ${d("fp")}) * $area / $km AS pred_positive_area_km2,
+           |  (${d("tn")} + ${d("fn")}) * $area / $km AS pred_negative_area_km2,
+           |  (${d("tp")} + ${d("fn")}) * $area / $km AS obs_positive_area_km2,
+           |  (${d("tn")} + ${d("fp")}) * $area / $km AS obs_negative_area_km2,
+           |  (${d("tp")} + ${d("fp")}) * $area / $km - (${d("tp")} + ${d("fn")}) * $area / $km AS positive_diff_area_km2
+           |FROM c""".stripMargin)
+    },
+
+    "q60_calb_pivot" -> withCtes(srcg, obsu, obsq, coefq)(
+      """SELECT hydroid,
+        |  min(CASE WHEN j = 0 THEN coef END) AS coef_j0,
+        |  min(CASE WHEN j = 1 THEN coef END) AS coef_j1,
+        |  min(CASE WHEN j = 2 THEN coef END) AS coef_j2
+        |FROM coefq WHERE qsrc > CAST(0.0 AS DOUBLE)
+        |GROUP BY hydroid""".stripMargin),
 
     "q58_extent_dissolve" -> withCtes(pts, asg, ht, fc, stg, til,
       """mos58 AS (

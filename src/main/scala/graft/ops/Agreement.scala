@@ -93,6 +93,59 @@ object Agreement {
       metricCols(col("tn"), col("fn"), col("fp"), col("tp")): _*)
   }
 
+  /** The COMPLETE master-CSV metric family (q59) — every derived statistic
+    * the reference writes per evaluation row
+    * (`tools/tools_shared_functions.py:277-380`,
+    * `tools/synthesize_test_cases.py:48-88`): the 7 headline metrics plus
+    * TNR/PND/PPV/NPV/Bal_ACC/prevalence/equitable-threat-score, the percent
+    * family, and the cell-area → km² family. All exact double arithmetic
+    * from the BIGINT contingency counts. */
+  def fullMetrics(agreementDf: DataFrame, cellAreaM2: Double = 25000000.0): DataFrame = {
+    val counted = agreementDf.agg(
+      count(when(col("agreement") === 0, 1)).as("tn"),
+      count(when(col("agreement") === 1, 1)).as("fn"),
+      count(when(col("agreement") === 2, 1)).as("fp"),
+      count(when(col("agreement") === 3, 1)).as("tp"),
+      count(when(col("agreement") === 4, 1)).as("masked"))
+    val tp = col("tp").cast("double"); val tn = col("tn").cast("double")
+    val fp = col("fp").cast("double"); val fn = col("fn").cast("double")
+    val totD = (col("tn") + col("fn") + col("fp") + col("tp")).cast("double")
+    val aref = (tp + fp) * (tp + fn) / totD
+    val a = lit(cellAreaM2)
+    counted.select(Seq(
+      col("tn"), col("fn"), col("fp"), col("tp"), col("masked"),
+      (col("tn") + col("fn") + col("fp") + col("tp")).as("contingency_tot_count")) ++
+      metricCols(col("tn"), col("fn"), col("fp"), col("tp")) ++ Seq(
+      (tn / (tn + fp)).as("tnr"),
+      (fn / (fn + tp)).as("pnd"),
+      (tp / (tp + fp)).as("ppv"),
+      (tn / (tn + fn)).as("npv"),
+      ((tp / (tp + fn) + tn / (tn + fp)) / lit(2.0)).as("bal_acc"),
+      ((tp + fn) / totD).as("prevalence"),
+      ((tp - aref) / (tp + fp + fn - aref)).as("equitable_threat_score"),
+      (tp / totD * 100).as("tp_perc"),
+      (fp / totD * 100).as("fp_perc"),
+      (tn / totD * 100).as("tn_perc"),
+      (fn / totD * 100).as("fn_perc"),
+      ((tp + fp) / totD * 100).as("pred_positive_perc"),
+      ((tn + fn) / totD * 100).as("pred_negative_perc"),
+      ((tp + fn) / totD * 100).as("obs_positive_perc"),
+      ((tn + fp) / totD * 100).as("obs_negative_perc"),
+      ((tp + fp) / totD * 100 - (tp + fn) / totD * 100).as("positive_diff_perc"),
+      (col("masked").cast("double") / (totD + col("masked").cast("double")) * 100).as("masked_perc"),
+      a.as("cell_area_m2"),
+      (tp * a / lit(1000000.0)).as("tp_area_km2"),
+      (fp * a / lit(1000000.0)).as("fp_area_km2"),
+      (tn * a / lit(1000000.0)).as("tn_area_km2"),
+      (fn * a / lit(1000000.0)).as("fn_area_km2"),
+      (totD * a / lit(1000000.0)).as("contingency_tot_area_km2"),
+      ((tp + fp) * a / lit(1000000.0)).as("pred_positive_area_km2"),
+      ((tn + fn) * a / lit(1000000.0)).as("pred_negative_area_km2"),
+      ((tp + fn) * a / lit(1000000.0)).as("obs_positive_area_km2"),
+      ((tn + fp) * a / lit(1000000.0)).as("obs_negative_area_km2"),
+      ((tp + fp) * a / lit(1000000.0) - (tp + fn) * a / lit(1000000.0)).as("positive_diff_area_km2")): _*)
+  }
+
   /** Multi-benchmark master-metrics assembly (q56) — the engine's form of
     * `tools/synthesize_test_cases.py:22-293`: evaluate the SAME predicted
     * mosaic against every (benchmark_source × magnitude) combination and melt

@@ -157,10 +157,12 @@ object Calibration {
     * Spark and DuckDB, unlike each engine's native percentile interpolation);
     * per-feature-group mean fallback (`np.select` conditions); final coef
     * applied as discharge = precalb / coef with the 0-discharge mask kept. */
-  def roughness(spark: SparkSession): DataFrame = {
-    val src = srcGeom(spark)
-    val obs = observations(spark)
-      .join(src.select(col("hydroid"), col("i"), col("discharge_cms").as("qsrc"),
+  /** Per-observation calibration coefficients (hydroid, j, qsrc, qobs, coef,
+    * chn, obn) — the df_nvalues analog, shared by [[roughness]] (q54) and the
+    * magnitude pivot (q60). */
+  def obsCoefs(spark: SparkSession): DataFrame =
+    observations(spark)
+      .join(srcGeom(spark).select(col("hydroid"), col("i"), col("discharge_cms").as("qsrc"),
         col("channel_n"), col("overbank_n")).withColumnRenamed("i", "ki"),
         Seq("hydroid", "ki"))
       .withColumn("qobs",
@@ -168,6 +170,10 @@ object Calibration {
       .withColumn("coef", col("qobs") / col("qsrc"))
       .withColumn("chn", col("coef") * col("channel_n"))
       .withColumn("obn", col("coef") * col("overbank_n"))
+
+  def roughness(spark: SparkSession): DataFrame = {
+    val src = srcGeom(spark)
+    val obs = obsCoefs(spark)
     val passing = obs.filter(col("qsrc") > 0.0 &&
       col("chn") < 0.8 && col("chn") > 0.001 && col("obn") < 0.8 && col("obn") > 0.001)
     val wOrd = Window.partitionBy(col("hydroid")).orderBy(col("coef"))
