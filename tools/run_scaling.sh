@@ -51,10 +51,11 @@ single-box proxy for N vs 4N executors.
 (target ≥ 0.8 — {verdict}).**
 
 8→32 = {e832:.3f}: at 32 cores this single-socket box saturates memory
-bandwidth — the map pipeline ceilings at ≈40M pages/s whether given 152M or
-609M pages, and per-core throughput drops from ~1.9M (8 cores) to ~1.3M
-(32 cores) pages/s while the plan (one broadcast join chain + one exchange)
-is unchanged. On a real cluster, 4N executors bring 4× memory channels and
+bandwidth — the map pipeline ceilings whether given 152M or 609M pages, and
+per-core throughput drops from {b['pages_per_sec']/8/1e6:.2f}M (8 cores) to
+{c['pages_per_sec']/32/1e6:.2f}M (32 cores) pages/s while the plan (one
+broadcast join chain + one exchange) is unchanged. On a real cluster, 4N
+executors bring 4× memory channels and
 4× shuffle disks, which this shared-socket proxy cannot; the 2→8 pair is the
 regime where the box still has headroom per added core and is therefore the
 faithful proxy for executor scaling.
