@@ -241,6 +241,26 @@ object OracleSql {
     seed +: steps
   }
 
+  // ---- wet-extent raster→vector (q58/q64) ----
+
+  /** Mosaic with the signed-class winner, wet subset, and exploded 4-neighbor
+    * ids — mirrors of [[graft.pipeline.Extents]]. */
+  val mos58: String =
+    """mos58 AS (
+      |  SELECT cell, max(CAST(CASE WHEN depth > 0 THEN hydroid ELSE -hydroid END AS INT)) AS clazz
+      |  FROM til GROUP BY cell
+      |)""".stripMargin
+
+  val wet58: String = "wet58 AS (SELECT cell, clazz FROM mos58 WHERE clazz > 0)"
+
+  val nbr58: String =
+    """nbr58 AS (
+      |  SELECT cell, clazz,
+      |    12 * 72057594037927936 + (((cell // 268435456) % 268435456) + dr) * 268435456
+      |      + ((cell % 268435456) + dc) AS ncell
+      |  FROM wet58 CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dr, dc)
+      |)""".stripMargin
+
   // ---- synthetic stream network (graph ops G1-G5) ----
 
   /** Closed-form reach network: lr = floor(h/144) % 8, lc = h % 8 (144 ≡ 0
@@ -275,6 +295,28 @@ object OracleSql {
       |  SELECT c.d AS hydroid, sum(n.length_km) AS arbolate_km
       |  FROM cl c JOIN net n ON c.u = n.hydroid
       |  GROUP BY c.d
+      |)""".stripMargin
+
+  /** Level-path assignment CTEs (G4) — deterministic confluence tie-breaks,
+    * shared by q26 and the group-roughness walk (q65). */
+  val chosenCte: String =
+    """chosen AS (
+      |  SELECT parent, hydroid AS chosen FROM (
+      |    SELECT n.to_node AS parent, n.hydroid,
+      |      row_number() OVER (PARTITION BY n.to_node
+      |        ORDER BY n.order_ DESC, a.arbolate_km DESC, n.hydroid DESC) AS rn
+      |    FROM net n JOIN arbo a ON n.hydroid = a.hydroid WHERE n.to_node >= 0)
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  val lpCte: String =
+    """lp AS (
+      |  SELECT n.hydroid, n.hydroid AS branch
+      |  FROM net n LEFT JOIN chosen c ON c.parent = n.to_node AND c.chosen = n.hydroid
+      |  WHERE n.to_node = -1 OR c.chosen IS NULL
+      |  UNION ALL
+      |  SELECT c.chosen AS hydroid, lp.branch
+      |  FROM lp JOIN chosen c ON c.parent = lp.hydroid
       |)""".stripMargin
 
   def withRecursiveCtes(ctes: String*)(body: String): String =

@@ -364,6 +364,11 @@ object SparkEntry {
     // through the rating curve (generate_categorical_fim_flows.py:148-300)
     "q55_catfim_flow" -> ((s, _) => CatFim.catfimFlow(s)),
 
+    // downstream group-coefficient walk: uncalibrated reaches within 8 km of
+    // the last run of >=2 consecutive calibrated reaches inherit its mean
+    // coef — branch_network_tracer + group_manningn_calc as window algebra
+    "q65_group_roughness" -> ((s, _) => Calibration.groupRoughness(s)),
+
     // multi-benchmark master-metrics assembly: one mosaic evaluated against
     // every (benchmark_source × magnitude), melted to the long master table
     // (synthesize_test_cases.py:22-293)
@@ -393,6 +398,11 @@ object SparkEntry {
     "q58_extent_dissolve" -> ((s, dir) =>
       graft.pipeline.Extents.dissolve(Inundate.run(s, dir))),
 
+    // connected-component labeling of wet extents (polygonize proper):
+    // per-extent union-find kernel, label = min cell id per component
+    "q64_extent_components" -> ((s, dir) =>
+      graft.pipeline.Extents.components(Inundate.run(s, dir))),
+
     // the COMPLETE master-CSV metric family (~36 columns) from one agreement
     // raster (tools_shared_functions.py:277-380)
     "q59_full_metrics" -> ((s, dir) =>
@@ -406,6 +416,29 @@ object SparkEntry {
         .groupBy(col("hydroid")).pivot("j", Seq(0, 1, 2)).agg(min(col("coef")))
         .select(col("hydroid"), col("0").as("coef_j0"), col("1").as("coef_j1"),
           col("2").as("coef_j2"))),
+
+    // A2 zonal min within lateral cost tolerance, applied back to thalweg
+    // cells under an elevation-difference threshold
+    // (adjust_thalweg_lateral.py:10-60): two-stage zonal min + broadcast-back
+    "q63_thalweg_adjust" -> ((s, dir) => {
+      val pts = SpatialJoin.assign(s, Synth.points(s, dir))
+        .withColumn("lat_c",
+          (floor(col("hydroid") / lit(144)).cast("long") + lit(0.5)) * lit(1.25) - lit(90.0))
+        .withColumn("lng_c",
+          ((col("hydroid") % 144) + lit(0.5)) * lit(2.5) - lit(180.0))
+        .withColumn("cost",
+          (col("lat") - col("lat_c")) * (col("lat") - col("lat_c"))
+            + (col("lng") - col("lng_c")) * (col("lng") - col("lng_c")))
+      val zmin = pts.filter(col("cost") <= 1.0 && col("hand") > 0.0)
+        .groupBy(col("hydroid")).agg(min(col("hand")).as("zmin"))
+      pts.join(broadcast(zmin), Seq("hydroid"), "left")
+        .select(col("pid"), col("hydroid").cast("long").as("hydroid"), col("hand"),
+          col("zmin"),
+          (col("pid") % 11 === 0).cast("int").as("thalweg"),
+          when(col("pid") % 11 === 0 && col("zmin").isNotNull &&
+            col("zmin") < col("hand") && col("hand") - col("zmin") <= 2.0,
+            col("zmin")).otherwise(col("hand")).as("hand_adj"))
+    }),
 
     // §2.8 map functions: per-order line→quantity map via map_from_entries,
     // probed with element_at / map_keys (plain-column output for the oracle).
@@ -762,23 +795,7 @@ object SparkEntry {
         |FROM cl c JOIN net n ON c.u = n.hydroid JOIN net n2 ON c.d = n2.hydroid
         |GROUP BY n2.huc8, c.d""".stripMargin),
 
-    "q26_levelpath" -> withRecursiveCtes(net, closure, arboAgg,
-      """chosen AS (
-        |  SELECT parent, hydroid AS chosen FROM (
-        |    SELECT n.to_node AS parent, n.hydroid,
-        |      row_number() OVER (PARTITION BY n.to_node
-        |        ORDER BY n.order_ DESC, a.arbolate_km DESC, n.hydroid DESC) AS rn
-        |    FROM net n JOIN arbo a ON n.hydroid = a.hydroid WHERE n.to_node >= 0)
-        |  WHERE rn = 1
-        |)""".stripMargin,
-      """lp AS (
-        |  SELECT n.hydroid, n.hydroid AS branch
-        |  FROM net n LEFT JOIN chosen c ON c.parent = n.to_node AND c.chosen = n.hydroid
-        |  WHERE n.to_node = -1 OR c.chosen IS NULL
-        |  UNION ALL
-        |  SELECT c.chosen AS hydroid, lp.branch
-        |  FROM lp JOIN chosen c ON c.parent = lp.hydroid
-        |)""".stripMargin)(
+    "q26_levelpath" -> withRecursiveCtes(net, closure, arboAgg, chosenCte, lpCte)(
       """SELECT n.huc8, lp.hydroid, lp.branch AS levelpath_id
         |FROM lp JOIN net n ON lp.hydroid = n.hydroid""".stripMargin),
 
@@ -1098,6 +1115,66 @@ object SparkEntry {
         |JOIN (SELECT feature_id - 1000000 AS hydroid, discharge AS q_now FROM fc) f
         |  ON c.hydroid = f.hydroid""".stripMargin),
 
+    "q65_group_roughness" -> withRecursiveCtes(net, closure, arboAgg, chosenCte, lpCte,
+      srcg, obsu, obsq, coefq,
+      """medq AS (
+        |  SELECT hydroid, sum(coef) / count(*) AS calb_hydroid
+        |  FROM (SELECT hydroid, coef,
+        |          row_number() OVER (PARTITION BY hydroid ORDER BY coef) AS rn,
+        |          count(*) OVER (PARTITION BY hydroid) AS n
+        |        FROM coefq
+        |        WHERE qsrc > CAST(0.0 AS DOUBLE)
+        |          AND chn < CAST(0.8 AS DOUBLE) AND chn > CAST(0.001 AS DOUBLE)
+        |          AND obn < CAST(0.8 AS DOUBLE) AND obn > CAST(0.001 AS DOUBLE))
+        |  WHERE rn = floor((n + 1) / 2.0) OR rn = floor((n + 2) / 2.0)
+        |  GROUP BY hydroid
+        |)""".stripMargin,
+      """base65 AS (
+        |  SELECT l.hydroid, l.branch AS levelpath_id, n.length_km, a.arbolate_km, m.calb_hydroid
+        |  FROM lp l JOIN net n ON l.hydroid = n.hydroid
+        |  JOIN arbo a ON l.hydroid = a.hydroid
+        |  LEFT JOIN medq m ON l.hydroid = m.hydroid
+        |)""".stripMargin,
+      """w1 AS (
+        |  SELECT *,
+        |    CASE WHEN calb_hydroid IS NOT NULL THEN 1 ELSE 0 END AS is_calb,
+        |    sum(length_km) OVER win AS cumlen,
+        |    sum(coalesce(calb_hydroid, CAST(0.0 AS DOUBLE))) OVER win AS cumcoef,
+        |    sum(CASE WHEN calb_hydroid IS NOT NULL THEN 1 ELSE 0 END) OVER win AS k
+        |  FROM base65
+        |  WINDOW win AS (PARTITION BY levelpath_id ORDER BY arbolate_km, hydroid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)""".stripMargin,
+      """w2 AS (
+        |  SELECT *, coalesce(lag(is_calb, 1) OVER
+        |    (PARTITION BY levelpath_id ORDER BY arbolate_km, hydroid), 0) AS prev_calb
+        |  FROM w1
+        |)""".stripMargin,
+      """w3 AS (
+        |  SELECT *, CASE WHEN is_calb = 1 AND prev_calb = 0 THEN 1 ELSE 0 END AS island_start
+        |  FROM w2
+        |)""".stripMargin,
+      """w4 AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_calb = 1 THEN cumlen END IGNORE NULLS) OVER win4 AS e_cumlen,
+        |    last_value(CASE WHEN is_calb = 1 THEN cumcoef END IGNORE NULLS) OVER win4 AS e_cumcoef,
+        |    last_value(CASE WHEN island_start = 1 THEN cumcoef - calb_hydroid END IGNORE NULLS) OVER win4 AS base_cumcoef,
+        |    last_value(CASE WHEN island_start = 1 THEN k - 1 END IGNORE NULLS) OVER win4 AS base_k
+        |  FROM w3
+        |  WINDOW win4 AS (PARTITION BY levelpath_id ORDER BY arbolate_km, hydroid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)""".stripMargin)(
+      """SELECT hydroid, levelpath_id, CAST(is_calb AS INT) AS is_calb,
+        |  CASE WHEN is_calb = 0 THEN cumlen - e_cumlen END AS accum_dist,
+        |  CASE WHEN is_calb = 0 AND e_cumlen IS NOT NULL
+        |            AND cumlen - e_cumlen < CAST(8.0 AS DOUBLE) AND k - base_k > 1
+        |       THEN (e_cumcoef - base_cumcoef) / (k - base_k) END AS group_calb_coef,
+        |  coalesce(calb_hydroid,
+        |    CASE WHEN is_calb = 0 AND e_cumlen IS NOT NULL
+        |              AND cumlen - e_cumlen < CAST(8.0 AS DOUBLE) AND k - base_k > 1
+        |         THEN (e_cumcoef - base_cumcoef) / (k - base_k) END) AS calb_final
+        |FROM w4""".stripMargin),
+
     "q56_master_metrics" -> {
       def d(c: String) = s"CAST($c AS DOUBLE)"
       def metricsSql(tn: String, fn: String, fp: String, tp: String): String =
@@ -1134,6 +1211,20 @@ object SparkEntry {
 
     "q57_src_json" -> withCtes(srcg)(
       "SELECT hydroid, CAST(i AS INT) AS i, stage, discharge_cms FROM srcg WHERE hydroid % 199 = 0"),
+
+    "q64_extent_components" -> withRecursiveCtes(pts, asg, ht, fc, stg, til,
+      mos58, wet58, nbr58,
+      """reach64 AS (
+        |  SELECT cell, clazz, cell AS lbl FROM wet58
+        |  UNION
+        |  SELECT e.cell, e.clazz, r.lbl
+        |  FROM reach64 r JOIN nbr58 e ON e.ncell = r.cell AND e.clazz = r.clazz
+        |)""".stripMargin,
+      """comp64 AS (
+        |  SELECT cell, clazz, min(lbl) AS comp FROM reach64 GROUP BY cell, clazz
+        |)""".stripMargin)(
+      """SELECT clazz AS hydroid, comp, count(*) AS n_cells
+        |FROM comp64 GROUP BY clazz, comp""".stripMargin),
 
     "q59_full_metrics" -> {
       def d(c: String) = s"CAST($c AS DOUBLE)"
@@ -1199,18 +1290,7 @@ object SparkEntry {
         |FROM coefq WHERE qsrc > CAST(0.0 AS DOUBLE)
         |GROUP BY hydroid""".stripMargin),
 
-    "q58_extent_dissolve" -> withCtes(pts, asg, ht, fc, stg, til,
-      """mos58 AS (
-        |  SELECT cell, max(CAST(CASE WHEN depth > 0 THEN hydroid ELSE -hydroid END AS INT)) AS clazz
-        |  FROM til GROUP BY cell
-        |)""".stripMargin,
-      "wet58 AS (SELECT cell, clazz FROM mos58 WHERE clazz > 0)",
-      """nbr58 AS (
-        |  SELECT cell, clazz,
-        |    12 * 72057594037927936 + (((cell // 268435456) % 268435456) + dr) * 268435456
-        |      + ((cell % 268435456) + dc) AS ncell
-        |  FROM wet58 CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dr, dc)
-        |)""".stripMargin,
+    "q58_extent_dissolve" -> withCtes(pts, asg, ht, fc, stg, til, mos58, wet58, nbr58,
       """deg58 AS (
         |  SELECT n.cell, n.clazz, count(w.cell) AS nn
         |  FROM nbr58 n LEFT JOIN wet58 w ON n.ncell = w.cell AND n.clazz = w.clazz
@@ -1224,6 +1304,31 @@ object SparkEntry {
         |  max(((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0) AS lng_max,
         |  count(*) * (CAST(180.0 AS DOUBLE) / 4096.0) * (CAST(360.0 AS DOUBLE) / 8192.0) AS area_deg2
         |FROM deg58 GROUP BY clazz""".stripMargin),
+
+    "q63_thalweg_adjust" -> withCtes(pts, asg,
+      """zc AS (
+        |  SELECT pid, hydroid, hand, lat, lng,
+        |    (CAST(floor(hydroid / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |      - CAST(90.0 AS DOUBLE) AS lat_c,
+        |    ((hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE)
+        |      - CAST(180.0 AS DOUBLE) AS lng_c
+        |  FROM asg
+        |)""".stripMargin,
+      """zcost AS (
+        |  SELECT *, (lat - lat_c) * (lat - lat_c) + (lng - lng_c) * (lng - lng_c) AS cost
+        |  FROM zc
+        |)""".stripMargin,
+      """zmin AS (
+        |  SELECT hydroid, min(hand) AS zmin
+        |  FROM zcost WHERE cost <= CAST(1.0 AS DOUBLE) AND hand > CAST(0.0 AS DOUBLE)
+        |  GROUP BY hydroid
+        |)""".stripMargin)(
+      """SELECT z.pid, z.hydroid, z.hand, m.zmin,
+        |  CAST(CASE WHEN z.pid % 11 = 0 THEN 1 ELSE 0 END AS INT) AS thalweg,
+        |  CASE WHEN z.pid % 11 = 0 AND m.zmin IS NOT NULL AND m.zmin < z.hand
+        |            AND z.hand - m.zmin <= CAST(2.0 AS DOUBLE)
+        |       THEN m.zmin ELSE z.hand END AS hand_adj
+        |FROM zcost z LEFT JOIN zmin m ON z.hydroid = m.hydroid""".stripMargin),
 
     "q61_map_funcs" ->
       """SELECT l_orderkey, CAST(count(*) AS INT) AS n_lines,

@@ -171,20 +171,25 @@ object Calibration {
       .withColumn("chn", col("coef") * col("channel_n"))
       .withColumn("obn", col("coef") * col("overbank_n"))
 
-  def roughness(spark: SparkSession): DataFrame = {
-    val src = srcGeom(spark)
-    val obs = obsCoefs(spark)
-    val passing = obs.filter(col("qsrc") > 0.0 &&
+  /** Per-HydroID median calibration coefficient over Mann_flag-passing
+    * observations (engine-exact median: mean of the ≤2 middle order stats). */
+  def hydroidMedians(spark: SparkSession): DataFrame = {
+    val passing = obsCoefs(spark).filter(col("qsrc") > 0.0 &&
       col("chn") < 0.8 && col("chn") > 0.001 && col("obn") < 0.8 && col("obn") > 0.001)
     val wOrd = Window.partitionBy(col("hydroid")).orderBy(col("coef"))
     val wAll = Window.partitionBy(col("hydroid"))
-    val med = passing
+    passing
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
       .filter(col("rn") === floor((col("n") + 1) / lit(2.0)) ||
         col("rn") === floor((col("n") + 2) / lit(2.0)))
       .groupBy(col("hydroid"))
       .agg((sum(col("coef")) / count(lit(1))).as("calb_hydroid"))
+  }
+
+  def roughness(spark: SparkSession): DataFrame = {
+    val src = srcGeom(spark)
+    val med = hydroidMedians(spark)
     val grp = med
       .withColumn("fg", col("hydroid") - col("hydroid") % 2)
       .groupBy(col("fg"))
@@ -202,5 +207,61 @@ object Calibration {
           .otherwise(col("discharge_cms") / col("calb_coef_final")).as("discharge_calb"),
         when(col("calb_coef_final").isNotNull, lit("True")).otherwise(lit("False"))
           .as("calb_applied"))
+  }
+
+  /** Downstream group-coefficient application (q65) — the relational form of
+    * `src_roughness_optimization.py`'s `branch_network_tracer` +
+    * `group_manningn_calc` sequential walk: within each level path (ordered
+    * upstream→downstream by arbolate distance), uncalibrated reaches within
+    * `threshKm` of the most recent RUN of ≥2 consecutive calibrated reaches
+    * inherit that run's mean coefficient.
+    *
+    * The per-branch scan becomes pure window algebra (gaps-and-islands):
+    * sequential prefix sums give cumulative length/coefficient (evaluated in
+    * the same row order in any engine — deterministic FP), and
+    * last(..., ignoreNulls) carries the most recent island's end/base
+    * state to every downstream row. No iteration, no driver loop. */
+  def groupRoughness(spark: SparkSession, threshKm: Double = 8.0): DataFrame = {
+    val net = StreamNet.reaches(spark)
+    val lp = StreamNet.levelPaths(spark, net)
+      .select(col("hydroid"), col("levelpath_id"))
+    val arbo = StreamNet.arbolate(spark, net)
+      .select(col("hydroid"), col("arbolate_km"))
+    val med = hydroidMedians(spark)
+    val base = lp
+      .join(net.select(col("hydroid"), col("length_km")), "hydroid")
+      .join(arbo, "hydroid")
+      .join(broadcast(med), Seq("hydroid"), "left")
+    val ord = Window.partitionBy(col("levelpath_id"))
+      .orderBy(col("arbolate_km"), col("hydroid"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = base
+      .withColumn("is_calb", col("calb_hydroid").isNotNull.cast("int"))
+      .withColumn("cumlen", sum(col("length_km")).over(run))
+      .withColumn("cumcoef", sum(coalesce(col("calb_hydroid"), lit(0.0))).over(run))
+      .withColumn("k", sum(col("calb_hydroid").isNotNull.cast("int")).over(run))
+      .withColumn("prev_calb", coalesce(lag(col("is_calb"), 1).over(ord), lit(0)))
+      .withColumn("island_start",
+        (col("is_calb") === 1 && col("prev_calb") === 0).cast("int"))
+    val d2 = d
+      .withColumn("e_cumlen",
+        last(when(col("is_calb") === 1, col("cumlen")), ignoreNulls = true).over(run))
+      .withColumn("e_cumcoef",
+        last(when(col("is_calb") === 1, col("cumcoef")), ignoreNulls = true).over(run))
+      .withColumn("base_cumcoef",
+        last(when(col("island_start") === 1, col("cumcoef") - col("calb_hydroid")),
+          ignoreNulls = true).over(run))
+      .withColumn("base_k",
+        last(when(col("island_start") === 1, col("k") - 1), ignoreNulls = true).over(run))
+    val groupCoef =
+      when(col("is_calb") === 0 && col("e_cumlen").isNotNull &&
+        col("cumlen") - col("e_cumlen") < threshKm && col("k") - col("base_k") > 1,
+        (col("e_cumcoef") - col("base_cumcoef")) / (col("k") - col("base_k")))
+    d2.select(col("hydroid").cast("long").as("hydroid"),
+      col("levelpath_id").cast("long").as("levelpath_id"),
+      col("is_calb"),
+      when(col("is_calb") === 0, col("cumlen") - col("e_cumlen")).as("accum_dist"),
+      groupCoef.as("group_calb_coef"),
+      coalesce(col("calb_hydroid"), groupCoef).as("calb_final"))
   }
 }
