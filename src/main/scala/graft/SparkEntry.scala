@@ -364,6 +364,15 @@ object SparkEntry {
     // through the rating curve (generate_categorical_fim_flows.py:148-300)
     "q55_catfim_flow" -> ((s, _) => CatFim.catfimFlow(s)),
 
+    // CatFIM interval stages: whole-number inundation steps between
+    // consecutive thresholds (+5 past major)
+    "q67_catfim_intervals" -> ((s, _) => CatFim.stageIntervals(s)),
+
+    // bathymetric SRC adjustment: sparse survey corrections merged in,
+    // geometry adjusted, Manning discharge recomputed, stage-0 forced to 0
+    // (bathymetric_adjustment.py:60-130)
+    "q66_bathymetry" -> ((s, _) => Calibration.bathymetry(s)),
+
     // downstream group-coefficient walk: uncalibrated reaches within 8 km of
     // the last run of >=2 consecutive calibrated reaches inherit its mean
     // coef — branch_network_tracer + group_manningn_calc as window algebra
@@ -1174,6 +1183,84 @@ object SparkEntry {
         |              AND cumlen - e_cumlen < CAST(8.0 AS DOUBLE) AND k - base_k > 1
         |         THEN (e_cumcoef - base_cumcoef) / (k - base_k) END) AS calb_final
         |FROM w4""".stripMargin),
+
+    "q67_catfim_intervals" -> withCtes(
+      """iv AS (
+        |  SELECT hydroid, m.m AS m,
+        |    CAST(1.0 AS DOUBLE) + (hydroid % 4) * CAST(0.5 AS DOUBLE)
+        |      + m.m * ((hydroid % 3) * CAST(1.5 AS DOUBLE)) AS t,
+        |    CAST(1.0 AS DOUBLE) + (hydroid % 4) * CAST(0.5 AS DOUBLE)
+        |      + (m.m + 1) * ((hydroid % 3) * CAST(1.5 AS DOUBLE)) AS t_next
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)),
+        |       generate_series(0, 3) m(m)
+        |  WHERE hydroid % 41 = 0 AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """bounds AS (
+        |  SELECT hydroid, m,
+        |    CAST(floor(t) + CASE WHEN t = floor(t) THEN 1 ELSE 2 END AS BIGINT) AS lo,
+        |    CASE WHEN m < 3 THEN CAST(floor(t_next) AS BIGINT)
+        |         ELSE CAST(floor(t) + CASE WHEN t = floor(t) THEN 1 ELSE 2 END AS BIGINT) + 5
+        |    END AS hi
+        |  FROM iv
+        |)""".stripMargin)(
+      """SELECT hydroid,
+        |  CASE WHEN m = 0 THEN 'action' WHEN m = 1 THEN 'minor'
+        |       WHEN m = 2 THEN 'moderate' ELSE 'major' END AS category,
+        |  v.v AS interval_stage
+        |FROM bounds CROSS JOIN generate_series(0, 30) v(v)
+        |WHERE hi - 1 >= lo AND v.v >= lo AND v.v <= hi - 1""".stripMargin),
+
+    "q66_bathymetry" -> {
+      val newton = {
+        val seed = "ib0 AS (SELECT *, sqrt(sqrt(x2b)) AS yb FROM b4)"
+        val steps = (1 to 8).map(k =>
+          s"ib$k AS (SELECT * REPLACE ((CAST(2.0 AS DOUBLE) * yb + x2b / (yb * yb)) / CAST(3.0 AS DOUBLE) AS yb) FROM ib${k - 1})")
+        seed +: steps
+      }
+      withCtes(Seq(srcg,
+        """bathyd AS (
+          |  SELECT hydroid,
+          |    ((hydroid * 29 + 5) % 500) / 10.0 AS missing_xs,
+          |    ((hydroid * 17 + 3) % 200) / 10.0 AS missing_wp
+          |  FROM (SELECT a.x * 144 + b.x AS hydroid
+          |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x))
+          |  WHERE hydroid % 13 = 0
+          |)""".stripMargin,
+        """b0 AS (
+          |  SELECT s.hydroid, s.stage, s.length_km, s.slope, s.channel_n,
+          |    s.volume, s.bed_area, b.missing_xs, b.missing_wp,
+          |    coalesce(b.missing_xs, CAST(0.0 AS DOUBLE)) AS mxs,
+          |    coalesce(b.missing_wp, CAST(0.0 AS DOUBLE)) AS mwp
+          |  FROM srcg s LEFT JOIN bathyd b ON s.hydroid = b.hydroid
+          |  WHERE s.hydroid % 5 = 2 AND s.i % 7 = 0
+          |)""".stripMargin,
+        """b1 AS (
+          |  SELECT *,
+          |    volume + mxs * (length_km * CAST(1000.0 AS DOUBLE)) AS vol_adj,
+          |    bed_area + mwp * (length_km * CAST(1000.0 AS DOUBLE)) AS bed_adj,
+          |    bed_area / length_km / CAST(1000.0 AS DOUBLE) + mwp AS wp_adj
+          |  FROM b0
+          |)""".stripMargin,
+        """b2 AS (
+          |  SELECT *, vol_adj / length_km / CAST(1000.0 AS DOUBLE) AS wa_adj FROM b1
+          |)""".stripMargin,
+        """b3 AS (
+          |  SELECT *, CASE WHEN wp_adj > CAST(0.0 AS DOUBLE) THEN wa_adj / wp_adj ELSE CAST(0.0 AS DOUBLE) END AS hr_adj
+          |  FROM b2
+          |)""".stripMargin,
+        """b4 AS (
+          |  SELECT *, CASE WHEN hr_adj > CAST(0.0 AS DOUBLE) THEN hr_adj * hr_adj ELSE CAST(1.0 AS DOUBLE) END AS x2b
+          |  FROM b3
+          |)""".stripMargin) ++ newton: _*)(
+        """SELECT hydroid, stage,
+          |  CASE WHEN missing_xs IS NOT NULL THEN 'USACE eHydro' ELSE '' END AS bathy_source,
+          |  vol_adj,
+          |  CASE WHEN stage = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+          |       WHEN hr_adj > CAST(0.0 AS DOUBLE) THEN wa_adj * yb * sqrt(slope) / channel_n
+          |       ELSE CAST(0.0 AS DOUBLE) END AS discharge_adj
+          |FROM ib8""".stripMargin)
+    },
 
     "q56_master_metrics" -> {
       def d(c: String) = s"CAST($c AS DOUBLE)"

@@ -209,6 +209,46 @@ object Calibration {
           .as("calb_applied"))
   }
 
+  /** Sparse bathymetry survey table (eHydro analog): every 13th catchment
+    * carries missing cross-section area / wetted perimeter corrections. */
+  def bathyDim(spark: SparkSession): DataFrame =
+    spark.range(0, (Synth.CatRows * Synth.CatCols).toLong)
+      .select(col("id").as("hydroid"))
+      .filter(col("hydroid") % 13 === 0)
+      .withColumn("missing_xs", ((col("hydroid") * 29 + 5) % 500) / lit(10.0))
+      .withColumn("missing_wp", ((col("hydroid") * 17 + 3) % 200) / lit(10.0))
+
+  /** Bathymetric SRC adjustment (q66) —
+    * `src/bathymetric_adjustment.py:60-130` (eHydro path): merge the sparse
+    * survey corrections into the SRC (fillna 0), add the missing volume /
+    * bed area scaled by reach length, recompute wetted perimeter, hydraulic
+    * radius and Manning discharge, and force zero discharge at stage 0. */
+  def bathymetry(spark: SparkSession): DataFrame = {
+    val src = srcGeom(spark).filter(col("hydroid") % 5 === 2 && col("i") % 7 === 0)
+    val d = src.join(broadcast(bathyDim(spark)), Seq("hydroid"), "left")
+      .withColumn("mxs", coalesce(col("missing_xs"), lit(0.0)))
+      .withColumn("mwp", coalesce(col("missing_wp"), lit(0.0)))
+      .withColumn("vol_adj", col("volume") + col("mxs") * (col("length_km") * lit(1000.0)))
+      .withColumn("bed_adj", col("bed_area") + col("mwp") * (col("length_km") * lit(1000.0)))
+      .withColumn("wp_adj",
+        col("bed_area") / col("length_km") / lit(1000.0) + col("mwp"))
+      .withColumn("wa_adj", col("vol_adj") / col("length_km") / lit(1000.0))
+      .withColumn("hr_adj",
+        when(col("wp_adj") > 0.0, col("wa_adj") / col("wp_adj")).otherwise(lit(0.0)))
+      .withColumn("x2b",
+        when(col("hr_adj") > 0.0, col("hr_adj") * col("hr_adj")).otherwise(lit(1.0)))
+    newtonCbrt(d, "x2b", "yb")
+      .withColumn("discharge_adj",
+        when(col("stage") === 0.0, lit(0.0))
+          .when(col("hr_adj") > 0.0,
+            col("wa_adj") * col("yb") * sqrt(col("slope")) / col("channel_n"))
+          .otherwise(lit(0.0)))
+      .withColumn("bathy_source",
+        when(col("missing_xs").isNotNull, lit("USACE eHydro")).otherwise(lit("")))
+      .select(col("hydroid"), col("stage"), col("bathy_source"),
+        col("vol_adj"), col("discharge_adj"))
+  }
+
   /** Downstream group-coefficient application (q65) — the relational form of
     * `src_roughness_optimization.py`'s `branch_network_tracer` +
     * `group_manningn_calc` sequential walk: within each level path (ordered

@@ -41,6 +41,38 @@ object CatFim {
           * (lit(1.0) + col("m") * lit(0.75)))
   }
 
+  /** Stage-interval generation (q67) —
+    * `generate_categorical_fim.py:1116-1190` (`__calc_stage_intervals`): for
+    * each non-record stage threshold, emit the whole-number interval stages
+    * up to the next threshold (or +5 past major): lo = floor(t) + 1 if t is
+    * whole else floor(t) + 2 (= ceil + 1), hi exclusive = floor(t_next).
+    * The reference's claimed-value dedup is VACUOUS for monotone thresholds
+    * (interval ranges are disjoint and every interval exceeds all prior
+    * whole thresholds — the guard exists for degenerate WRDS data), so the
+    * relational form needs no anti-join; empty ranges (equal adjacent
+    * thresholds, step 0 sites) simply generate nothing. */
+  def stageIntervals(spark: SparkSession): DataFrame = {
+    val base = lit(1.0) + (col("hydroid") % 4) * lit(0.5)
+    val step = (col("hydroid") % 3) * lit(1.5)
+    val magName = when(col("m") === 0, lit("action"))
+      .when(col("m") === 1, lit("minor"))
+      .when(col("m") === 2, lit("moderate"))
+      .otherwise(lit("major"))
+    spark.range(0, (Synth.CatRows * Synth.CatCols).toLong)
+      .select(col("id").as("hydroid"))
+      .filter(col("hydroid") % 41 === 0 && col("hydroid") % 97 =!= 0)
+      .withColumn("m", explode(sequence(lit(0), lit(3))))
+      .withColumn("t", base + col("m") * step)
+      .withColumn("t_next", base + (col("m") + 1) * step)
+      .withColumn("lo",
+        (floor(col("t")) + when(col("t") === floor(col("t")), 1).otherwise(2)).cast("long"))
+      .withColumn("hi",
+        when(col("m") < 3, floor(col("t_next")).cast("long")).otherwise(col("lo") + 5))
+      .filter(col("hi") - 1 >= col("lo"))
+      .withColumn("interval_stage", explode(sequence(col("lo"), col("hi") - 1)))
+      .select(col("hydroid"), magName.as("category"), col("interval_stage"))
+  }
+
   /** (hydroid, magnitude, mag_flow, stage_m, is_active): categorical stage
     * per site and magnitude + whether the current forecast activates it. */
   def catfimFlow(spark: SparkSession): DataFrame = {
