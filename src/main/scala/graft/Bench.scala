@@ -74,7 +74,11 @@ object Bench {
       // toRdd.count() materializes EVERY output column — a plain count()
       // would let Catalyst prune the expensive expressions out of the plan
       try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // drop this query's cached tables so storage-memory pressure from one
+      // query can't evict/spill and distort the next measurement
+      spark.catalog.clearCache()
+      name -> secs
     }
     val qs = (results :+ ("flagship_e2e" -> secs))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
