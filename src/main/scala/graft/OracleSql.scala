@@ -88,7 +88,8 @@ object OracleSql {
   /** Exclusion mask rectangles — mirror of [[graft.synth.Synth.maskList]]. */
   val mrects: String =
     """mrects AS (
-      |  SELECT ((k * 37 + 5) % 150) - CAST(85.0 AS DOUBLE) AS lat_min,
+      |  SELECT k AS mask_id,
+      |         ((k * 37 + 5) % 150) - CAST(85.0 AS DOUBLE) AS lat_min,
       |         (((k * 37 + 5) % 150) - CAST(85.0 AS DOUBLE)) + (3 + k % 4) AS lat_max,
       |         ((k * 73 + 11) % 330) - CAST(175.0 AS DOUBLE) AS lng_min,
       |         (((k * 73 + 11) % 330) - CAST(175.0 AS DOUBLE)) + (4 + k % 5) AS lng_max

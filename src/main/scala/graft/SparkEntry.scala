@@ -368,6 +368,46 @@ object SparkEntry {
     // consecutive thresholds (+5 past major)
     "q67_catfim_intervals" -> ((s, _) => CatFim.stageIntervals(s)),
 
+    // J4 distributed spatial overlay: catchment × exclusion-mask polygon
+    // intersections via the co-located cover join (both sides cell-keyed —
+    // the n×m polygon cross never materializes), closed-form rect∩rect areas
+    "q68_overlay" -> ((s, _) => {
+      def el(ring: org.apache.spark.sql.Column, i: Int) = element_at(ring, i)
+      val cats = Synth.catchmentCover(s).select(col("ccell"), col("hydroid"), col("ring"))
+      val masks = Synth.maskCover(s)
+        .select(col("ccell"), col("mask_id"), col("ring").as("mring"))
+      cats.join(masks, "ccell")
+        .withColumn("ilat",
+          greatest(lit(0.0), least(el(col("ring"), 6), el(col("mring"), 6))
+            - greatest(el(col("ring"), 2), el(col("mring"), 2))))
+        .withColumn("ilng",
+          greatest(lit(0.0), least(el(col("ring"), 3), el(col("mring"), 3))
+            - greatest(el(col("ring"), 1), el(col("mring"), 1))))
+        .filter(col("ilat") > 0.0 && col("ilng") > 0.0)
+        .select(col("hydroid").cast("long").as("hydroid"), col("mask_id"),
+          (col("ilat") * col("ilng")).as("inter_deg2"))
+        .distinct()
+    }),
+
+    // tile pyramid: multi-resolution rollup CHAIN (12→10→8→6) — each level
+    // aggregates the one above it, not the base (the raster-pyramid trick:
+    // log-levels of shrinking aggregates instead of 3 full scans)
+    "q69_tile_pyramid" -> ((s, dir) => {
+      val mos = Inundate.run(s, dir)
+        .select(col("cell"), (col("depth_max") > 0).cast("int").as("wet"))
+      val l10 = mos.groupBy(Cells.cellToParentCol(col("cell"), Cells.BaseRes, 10).as("tile"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("wet")).as("n_wet"))
+        .withColumn("res", lit(10))
+      val l8 = l10.groupBy(Cells.cellToParentCol(col("tile"), 10, 8).as("tile"))
+        .agg(sum(col("n_cells")).as("n_cells"), sum(col("n_wet")).as("n_wet"))
+        .withColumn("res", lit(8))
+      val l6 = l8.groupBy(Cells.cellToParentCol(col("tile"), 8, 6).as("tile"))
+        .agg(sum(col("n_cells")).as("n_cells"), sum(col("n_wet")).as("n_wet"))
+        .withColumn("res", lit(6))
+      l10.unionByName(l8).unionByName(l6)
+        .select(col("res"), col("tile"), col("n_cells"), col("n_wet"))
+    }),
+
     // bathymetric SRC adjustment: sparse survey corrections merged in,
     // geometry adjusted, Manning discharge recomputed, stage-0 forced to 0
     // (bathymetric_adjustment.py:60-130)
@@ -1183,6 +1223,45 @@ object SparkEntry {
         |              AND cumlen - e_cumlen < CAST(8.0 AS DOUBLE) AND k - base_k > 1
         |         THEN (e_cumcoef - base_cumcoef) / (k - base_k) END) AS calb_final
         |FROM w4""".stripMargin),
+
+    "q68_overlay" -> withCtes(mrects,
+      """cbx AS (
+        |  SELECT hydroid,
+        |    CAST(floor(hydroid / 144) AS BIGINT) * CAST(1.25 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat_min,
+        |    (CAST(floor(hydroid / 144) AS BIGINT) + 1) * CAST(1.25 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat_max,
+        |    (hydroid % 144) * CAST(2.5 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lng_min,
+        |    ((hydroid % 144) + 1) * CAST(2.5 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lng_max
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x))
+        |)""".stripMargin)(
+      """SELECT hydroid, mask_id, ilat * ilng AS inter_deg2
+        |FROM (SELECT c.hydroid, m.mask_id,
+        |        greatest(CAST(0.0 AS DOUBLE), least(c.lat_max, m.lat_max) - greatest(c.lat_min, m.lat_min)) AS ilat,
+        |        greatest(CAST(0.0 AS DOUBLE), least(c.lng_max, m.lng_max) - greatest(c.lng_min, m.lng_min)) AS ilng
+        |      FROM cbx c CROSS JOIN mrects m)
+        |WHERE ilat > CAST(0.0 AS DOUBLE) AND ilng > CAST(0.0 AS DOUBLE)""".stripMargin),
+
+    "q69_tile_pyramid" -> withCtes(pts, asg, ht, fc, stg, til, mos,
+      """wetm AS (
+        |  SELECT cell, CAST(CASE WHEN depth_max > 0.0 THEN 1 ELSE 0 END AS INT) AS wet FROM mos
+        |)""".stripMargin)(
+      """SELECT 10 AS res,
+        |  10 * 72057594037927936 + (((cell // 268435456) % 268435456) >> 2) * 268435456
+        |    + ((cell % 268435456) >> 2) AS tile,
+        |  count(*) AS n_cells, CAST(sum(wet) AS BIGINT) AS n_wet
+        |FROM wetm GROUP BY 2
+        |UNION ALL
+        |SELECT 8 AS res,
+        |  8 * 72057594037927936 + (((cell // 268435456) % 268435456) >> 4) * 268435456
+        |    + ((cell % 268435456) >> 4) AS tile,
+        |  count(*) AS n_cells, CAST(sum(wet) AS BIGINT) AS n_wet
+        |FROM wetm GROUP BY 2
+        |UNION ALL
+        |SELECT 6 AS res,
+        |  6 * 72057594037927936 + (((cell // 268435456) % 268435456) >> 6) * 268435456
+        |    + ((cell % 268435456) >> 6) AS tile,
+        |  count(*) AS n_cells, CAST(sum(wet) AS BIGINT) AS n_wet
+        |FROM wetm GROUP BY 2""".stripMargin),
 
     "q67_catfim_intervals" -> withCtes(
       """iv AS (
