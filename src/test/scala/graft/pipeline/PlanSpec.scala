@@ -66,4 +66,32 @@ class PlanSpec extends SparkTestBase {
     assert("""\*\(\d+\) BroadcastHashJoin .*st_contains""".r.findFirstIn(plan).isDefined,
       plan.take(1500))
   }
+
+  test("polygon-mask agreement adds NO exchange: mask re-agg reuses the mosaic partitioning") {
+    val plan = physical(graft.ops.Agreement.agreement(spark, Inundate.run(spark, sf0001)))
+    // exactly one hash exchange in the whole plan — the mosaic groupBy(cell);
+    // the mask broadcast join + per-cell max run in the same stage
+    assert("Exchange hashpartitioning\\(cell".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(plan.contains("LeftOuter, BuildRight"), plan.take(3000))
+  }
+
+  test("Manning Newton chain stays stacked projections (no exponential expression inlining)") {
+    val sub = graft.ops.Calibration.subdivide(
+      graft.ops.Calibration.srcGeom(spark).filter(col("hydroid") % 7 === 3))
+    val plan = physical(sub.select(col("hydroid"), col("stage"), col("q_subdiv")))
+    // the 8-step chain appears as Projects inside codegen, and the plan text
+    // stays small — an exponential inline (3^8 nodes per step) would explode
+    // the string far past this bound
+    assert(plan.length < 400000, s"plan blew up: ${plan.length} chars")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("near-dup candidate plan: broadcast/equi joins only, no cartesian product") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val plan = physical(graft.ops.AnnSearch.nearDupPairs(emb))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
