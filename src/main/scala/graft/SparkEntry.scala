@@ -368,6 +368,23 @@ object SparkEntry {
     // consecutive thresholds (+5 past major)
     "q67_catfim_intervals" -> ((s, _) => CatFim.stageIntervals(s)),
 
+    // S11 merged-raster reprojection analog: resample the mosaic onto a
+    // TARGET grid (half the resolution, origin shifted 0.02°) — nearest-
+    // neighbor reassignment by centroid + per-target-cell max, the relational
+    // form of gdalwarp over the merged HUC raster
+    "q70_resample" -> ((s, dir) => {
+      val mos = Inundate.run(s, dir)
+        .withColumn("clat", Cells.centroidLatCol(col("cell"), Cells.BaseRes))
+        .withColumn("clng", Cells.centroidLngCol(col("cell"), Cells.BaseRes))
+      mos.groupBy(
+        (floor((col("clat") + lit(90.0) - lit(0.02)) / lit(180.0) * lit(2048.0)).cast("long") * 4096
+          + floor((col("clng") + lit(180.0) - lit(0.02)) / lit(360.0) * lit(4096.0)).cast("long"))
+          .as("tcell"))
+        .agg(max(col("depth_max")).as("depth_max"),
+          count(lit(1)).as("n_src"),
+          sum(col("n_points")).as("n_points"))
+    }),
+
     // J4 distributed spatial overlay: catchment × exclusion-mask polygon
     // intersections via the co-located cover join (both sides cell-keyed —
     // the n×m polygon cross never materializes), closed-form rect∩rect areas
@@ -1223,6 +1240,22 @@ object SparkEntry {
         |              AND cumlen - e_cumlen < CAST(8.0 AS DOUBLE) AND k - base_k > 1
         |         THEN (e_cumcoef - base_cumcoef) / (k - base_k) END) AS calb_final
         |FROM w4""".stripMargin),
+
+    "q70_resample" -> withCtes(pts, asg, ht, fc, stg, til,
+      """mos70 AS (
+        |  SELECT cell, max(depth) AS depth_max, count(*) AS n_points FROM til GROUP BY cell
+        |)""".stripMargin,
+      """cen70 AS (
+        |  SELECT cell, depth_max, n_points,
+        |    (((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS clat,
+        |    ((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS clng
+        |  FROM mos70
+        |)""".stripMargin)(
+      """SELECT CAST(floor((clat + 90.0 - CAST(0.02 AS DOUBLE)) / 180.0 * 2048.0) AS BIGINT) * 4096
+        |    + CAST(floor((clng + 180.0 - CAST(0.02 AS DOUBLE)) / 360.0 * 4096.0) AS BIGINT) AS tcell,
+        |  max(depth_max) AS depth_max, count(*) AS n_src,
+        |  CAST(sum(n_points) AS BIGINT) AS n_points
+        |FROM cen70 GROUP BY 1""".stripMargin),
 
     "q68_overlay" -> withCtes(mrects,
       """cbx AS (

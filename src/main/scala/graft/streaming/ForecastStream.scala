@@ -83,6 +83,37 @@ object ForecastStream {
         col("event_ts"), col("obs_ts"))
   }
 
+  final case class CatState(cat: Int)
+  final case class CatTransition(featureId: Long, prevCat: Int, newCat: Int, discharge: Double)
+
+  /** Streaming flow-based CatFIM alerting: each forecast update is classified
+    * against the site's 5-magnitude threshold ladder (the same deterministic
+    * table as q55), and `flatMapGroupsWithState` keeps the last category per
+    * site, emitting a row ONLY on a category transition — alert semantics
+    * (a pager wants changes, not every update). First sighting transitions
+    * from category −1. */
+  def categoryTransitions(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[CatTransition] = {
+    import spark.implicits._
+    spark.readStream.schema(forecastSchema).parquet(dir)
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (fid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         st: GroupState[CatState]) =>
+          val base = ((fid * 53 + 11) % 4000) / 10.0 + 5.0
+          def catOf(q: Double): Int = (0 until 5).count(m => q >= base * (1.0 + m * 0.75))
+          var prev = st.getOption.map(_.cat).getOrElse(-1)
+          val out = scala.collection.mutable.Buffer.empty[CatTransition]
+          rows.toSeq.sortBy(r => r._3.getTime).foreach { r =>
+            val c = catOf(r._2)
+            if (c != prev) { out += CatTransition(fid, prev, c, r._2); prev = c }
+          }
+          st.update(CatState(prev))
+          out.iterator
+      }
+  }
+
   final case class FeatureState(featureId: Long, maxQ: Double, n: Long)
 
   /** Stateful running max discharge per feature across all micro-batches

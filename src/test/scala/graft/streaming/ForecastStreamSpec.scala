@@ -93,6 +93,26 @@ class ForecastStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CatFIM transitions: category changes emit, repeats stay silent") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    // feature 1000041's threshold base = ((1000041*53+11) % 4000)/10 + 5
+    val fid = 1000041L
+    val base = ((fid * 53 + 11) % 4000) / 10.0 + 5.0
+    writeBatch(dir, Seq((fid, base * 0.5, 1000L)))           // below action → cat 0
+    val q = ForecastStream.categoryTransitions(spark, dir)
+      .writeStream.outputMode("update").format("memory").queryName("cattr").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(dir, Seq((fid, base * 2.0, 2000L)))         // cat 2 (>= 1x and 1.75x)
+      q.processAllAvailable()
+      writeBatch(dir, Seq((fid, base * 2.1, 3000L)))         // still cat 2 → silent
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT prevCat, newCat FROM cattr WHERE featureId = " + fid)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(rows == Seq((-1, 0), (0, 2)), rows.toString)
+    } finally q.stop()
+  }
+
   test("stateful running max across micro-batches (mapGroupsWithState)") {
     val dir = Files.createTempDirectory("graft_stream3").toString
     writeBatch(dir, Seq((7L, 3.0, 1000L)))
