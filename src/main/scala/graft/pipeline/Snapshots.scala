@@ -85,6 +85,26 @@ object Snapshots {
     finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
+  /** Snapshot (time-travel) read: the table as of `asOfTs` — only partitions
+    * whose manifest commit timestamp is ≤ `asOfTs` are visible, the
+    * Iceberg-snapshot-read analog over the append-only manifest log. A
+    * partition recommitted after `asOfTs` is EXCLUDED (last-writer-wins per
+    * partition: its current files no longer represent the old snapshot). */
+  def readTableAsOf(spark: SparkSession, table: String, partCol: String,
+      asOfTs: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val latest = scala.collection.mutable.Map.empty[String, Long]
+    if (Files.exists(manifestFile(table)))
+      Files.readAllLines(manifestFile(table)).asScala.foreach { l =>
+        for {
+          p <- """"part":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1))
+          t <- """"commit_ts":(-?\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong)
+        } latest(p) = t
+      }
+    val visible = latest.collect { case (p, t) if t <= asOfTs => p }.toSeq
+    readTable(spark, table).filter(col(partCol).isin(visible: _*))
+  }
+
   /** The lineage/metrics table as a DataFrame. */
   def lineage(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

@@ -46,5 +46,18 @@ class SnapshotsSpec extends SparkTestBase {
     lin.collect().foreach { r =>
       assert(rowsByPart(r.getString(0)) == r.getLong(1))
     }
+
+    // snapshot (time-travel) read: as of the FIRST run's commits, the
+    // recommitted victim partition is invisible (its current files postdate
+    // the snapshot), everything else is
+    val firstTs = first.map(_.commitTs).max
+    val asOf = Snapshots.readTableAsOf(spark, table, "huc8", firstTs)
+    val asOfParts = asOf.select("huc8").distinct().collect().map(_.getString(0)).toSet
+    assert(!asOfParts.contains(victim))
+    assert(asOfParts == first.map(_.part).toSet - victim)
+    // as of "now", everything is visible
+    val nowParts = Snapshots.readTableAsOf(spark, table, "huc8", Long.MaxValue)
+      .select("huc8").distinct().collect().map(_.getString(0)).toSet
+    assert(nowParts == first.map(_.part).toSet)
   }
 }
