@@ -117,6 +117,9 @@ object SparkEntry {
     // token counting: whitespace + BPE-ish regex segmentation
     "q51_tokens" -> ((s, dir) => TextOps.tokenCounts(Synth.corpus(s, dir))),
 
+    // repetition filter: most-frequent-shingle share (Gopher-style quality gate)
+    "q71_repetition" -> ((s, dir) => TextOps.repetition(Synth.corpus(s, dir))),
+
     // brute-force quantized-cosine top-k ANN
     "q21_ann_brute" -> ((s, dir) =>
       AnnSearch.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
@@ -124,6 +127,11 @@ object SparkEntry {
     // SRP bucket assignment (the LSH scale path for ANN)
     "q22_srp_buckets" -> ((s, dir) =>
       AnnSearch.srpBuckets(s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // IVF ANN: deterministic coarse quantizer, nProbe nearest lists, exact
+    // rerank — the cluster-pruned scale path beside the SRP hash tables
+    "q72_ivf_topk" -> ((s, dir) =>
+      AnnSearch.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
 
     // embedding-cosine near-dup pairs: adaptive multi-table SRP candidates
     // (bit count from corpus size → bucket population ≈ constant) ≥ threshold
@@ -686,6 +694,19 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM dlose d WHERE d.doc_id = q.doc_id)
         |  AND NOT EXISTS (SELECT 1 FROM nlose n WHERE n.doc_id = q.doc_id)""".stripMargin),
 
+    "q71_repetition" -> withCtes(corpus, sh,
+      """rc AS (
+        |  SELECT doc_id, hb, count(*) AS cnt
+        |  FROM (SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS hb FROM sh)
+        |  GROUP BY doc_id, hb
+        |)""".stripMargin)(
+      """SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles, count(*) AS n_distinct,
+        |  max(cnt) AS top_n,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS rep_ratio,
+        |  CAST(CASE WHEN CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) <= CAST(0.2 AS DOUBLE)
+        |       THEN 1 ELSE 0 END AS INT) AS keep_rep
+        |FROM rc GROUP BY doc_id""".stripMargin),
+
     "q13_dedup_exact" -> withCtes(corpus)(
       """SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_doc, max(doc_id) AS max_doc
         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin),
@@ -791,6 +812,50 @@ object SparkEntry {
            |      $sums
            |      FROM qt GROUP BY vec_id)""".stripMargin)
     },
+
+    "q72_ivf_topk" -> withCtes(qt, nrm,
+      "cvq AS (SELECT vec_id AS cid, pos, q AS cq FROM qt WHERE vec_id % 50 = 7)",
+      "cnr AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 50 = 7)",
+      """ivfd AS (
+        |  SELECT a.vec_id, c.cid, CAST(sum(a.q * c.cq) AS BIGINT) AS dot
+        |  FROM qt a JOIN cvq c ON a.pos = c.pos
+        |  GROUP BY a.vec_id, c.cid
+        |)""".stripMargin,
+      """ivfs AS (
+        |  SELECT d.vec_id, d.cid, CAST(d.dot AS DOUBLE) / sqrt(CAST(n.cn2 AS DOUBLE)) AS score
+        |  FROM ivfd d JOIN cnr n ON d.cid = n.cid
+        |)""".stripMargin,
+      """asg72 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        |    FROM ivfs) WHERE rn = 1
+        |)""".stripMargin,
+      """prb AS (
+        |  SELECT vec_id AS qvec, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        |    FROM ivfs WHERE vec_id % 250 = 0) WHERE rn <= 3
+        |)""".stripMargin,
+      """cnd AS (
+        |  SELECT DISTINCT p.qvec, a.vec_id AS vec
+        |  FROM prb p JOIN asg72 a ON p.cid = a.cid
+        |  WHERE p.qvec <> a.vec_id
+        |)""".stripMargin,
+      """dt72 AS (
+        |  SELECT c.qvec, c.vec, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+        |  FROM cnd c JOIN qt x ON x.vec_id = c.qvec
+        |  JOIN qt y ON y.vec_id = c.vec AND y.pos = x.pos
+        |  GROUP BY c.qvec, c.vec
+        |)""".stripMargin,
+      """sc72 AS (
+        |  SELECT d.qvec, d.vec,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(vn.n2 AS DOUBLE))) AS cos
+        |  FROM dt72 d JOIN nrm qn ON d.qvec = qn.vec_id JOIN nrm vn ON d.vec = vn.vec_id
+        |)""".stripMargin)(
+      """SELECT qvec, CAST(rank AS INT) AS rank, vec, cos
+        |FROM (SELECT qvec, vec, cos,
+        |        row_number() OVER (PARTITION BY qvec ORDER BY cos DESC, vec ASC) AS rank
+        |      FROM sc72)
+        |WHERE rank <= 5""".stripMargin),
 
     "q49_embed_neardup" -> {
       // adaptive nBits (masked to the first `nb` of 16 bit-sums, nb from the

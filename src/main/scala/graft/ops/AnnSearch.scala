@@ -112,6 +112,54 @@ object AnnSearch {
       .select(col("qvec"), col("rank"), col("vec"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the cluster-pruned scale path complementing
+    * the hash-pruned SRP tables: a deterministic coarse quantizer (every
+    * `centroidMod`-th vector stands in for a trained centroid set), each
+    * vector assigned to its best centroid's list (argmax cos; |v| cancels so
+    * the score is dot/√|c|²), queries probe the `nProbe` nearest lists and
+    * exact-rerank only those candidates.
+    *
+    * Scale shape: assignment is O(N·C·d) map work against a BROADCAST
+    * centroid table (C ≪ N); the probe→candidate join shuffles on the list
+    * id (lists ≈ N/C vectors); rerank cost is nProbe/C of brute force. */
+  def ivfTopK(emb: DataFrame, k: Int = 5, nProbe: Int = 3, centroidMod: Int = 50,
+      queryMod: Int = 250): DataFrame = {
+    val q = quantized(emb).cache()
+    val n = norms(q)
+    val cq = q.filter(col("vec_id") % centroidMod === 7)
+      .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+    val cn = n.filter(col("vec_id") % centroidMod === 7)
+      .select(col("vec_id").as("cid"), col("n2").as("cn2"))
+    val scores = q.join(broadcast(cq), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("q") * col("cq")).as("dot"))
+      .join(broadcast(cn), "cid")
+      .withColumn("score", col("dot").cast("double") / sqrt(col("cn2").cast("double")))
+    val assign = scores.groupBy(col("vec_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid").asc)
+    val probes = scores.filter(col("vec_id") % queryMod === 0)
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qvec"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("qvec") =!= col("vec_id"))
+      .select(col("qvec"), col("vec_id").as("vec")).distinct()
+    val dots = cand
+      .join(q.select(col("vec_id").as("qvec"), col("pos"), col("q").as("qq")), "qvec")
+      .join(q.select(col("vec_id").as("vec"), col("pos"), col("q")), Seq("vec", "pos"))
+      .groupBy(col("qvec"), col("vec"))
+      .agg(sum(col("qq") * col("q")).as("dot"))
+    val scored = dots
+      .join(n.select(col("vec_id").as("qvec"), col("n2").as("qn")), "qvec")
+      .join(n.select(col("vec_id").as("vec"), col("n2").as("vn")), "vec")
+      .select(col("qvec"), col("vec"),
+        (col("dot").cast("double") / (sqrt(col("qn").cast("double")) * sqrt(col("vn").cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("qvec")).orderBy(col("cos").desc, col("vec").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qvec"), col("rank"), col("vec"), col("cos"))
+  }
+
   /** Adaptive SRP bit count: the smallest b with 2^b ≥ ceil(n/targetBucket),
     * clamped to [2, 16] — so expected bucket population stays ≈ targetBucket
     * as the corpus grows and intra-bucket pair work stays ~n·targetBucket

@@ -249,6 +249,25 @@ object TextOps {
       regexp_count(col("text"), lit(bpeish)).cast("int").as("bpeish_tokens"))
   }
 
+  /** Repetition filter (q71) — the Gopher-style repeated-content quality
+    * signal: the most frequent shingle's share of all shingles. Boilerplate
+    * and degenerate repeated text score high; keep ⇔ ratio ≤ 0.2. Uses the
+    * NON-distinct shingle multiset (multiplicity is the signal), two hash
+    * aggregations with map-side combine. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val counts = shingles(docs)
+      .withColumn("hb", baseHash60(col("sh")))
+      .groupBy(col("doc_id"), col("hb")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_n"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"), col("top_n"),
+        (col("top_n").cast("double") / col("n_shingles").cast("double")).as("rep_ratio"),
+        (col("top_n").cast("double") / col("n_shingles").cast("double") <= 0.2)
+          .cast("int").as("keep_rep"))
+  }
+
   /** Document fingerprint: concatenation of the 4 smallest shingle md5s
     * (winnowing-style k-min sketch). */
   def fingerprint(docs: DataFrame): DataFrame = {

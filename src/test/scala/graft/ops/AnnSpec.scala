@@ -51,6 +51,24 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF ANN: measured recall@5 vs brute force; candidates a fraction of the corpus") {
+    val embBig = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val brute = AnnSearch.bruteTopK(embBig, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = AnnSearch.ivfTopK(embBig, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // C = N/50 = 40 lists, nProbe 3 ⇒ candidates ≈ 7.5 % of the corpus.
+    // Measured recall@5 = 0.275 — 3.7× better than random candidate
+    // selection, but far below the multi-table SRP path's 0.95: on these
+    // WEAKLY-clustered synthetic embeddings (neighbor cos ≈ 0.4) true
+    // neighbors scatter across IVF lists, the documented failure mode that
+    // makes SRP the preferred scale path here. Gate on the relative lift so
+    // the probe targeting itself is still verified.
+    val scannedFraction = 3.0 / 40.0
+    assert(recall >= 3 * scannedFraction, s"recall=$recall (scanned $scannedFraction)")
+  }
+
   test("SRP buckets: clones of the same vector share a bucket; buckets bounded") {
     val b = AnnSearch.srpBuckets(emb).collect()
     assert(b.length == emb.count())
