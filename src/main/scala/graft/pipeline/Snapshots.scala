@@ -18,7 +18,8 @@ import java.nio.file.{Files, Paths}
   */
 object Snapshots {
 
-  final case class PartitionLineage(part: String, rows: Long, xor: Long, commitTs: Long)
+  final case class PartitionLineage(part: String, rows: Long, xor: Long, commitTs: Long,
+      lo: Double = Double.NaN, hi: Double = Double.NaN)
 
   private def manifestDir(table: String) = Paths.get(table, "_graft_manifest")
   private def manifestFile(table: String) = manifestDir(table).resolve("lineage.jsonl")
@@ -44,7 +45,7 @@ object Snapshots {
     * describes exactly what landed on disk — a nondeterministic source can
     * never record stats inconsistent with the committed files. */
   def writeResumable(spark: SparkSession, df: DataFrame, table: String,
-      partCol: String): Seq[PartitionLineage] = {
+      partCol: String, statsCol: Option[String] = None): Seq[PartitionLineage] = {
     Files.createDirectories(manifestDir(table))
     val done = committedPartitions(table)
     val pending = df.filter(!col(partCol).isin(done.toSeq: _*))
@@ -57,22 +58,53 @@ object Snapshots {
     // order is normalized (sorted) so the fingerprint is stable regardless of
     // the partition column's position after read-back
     val snap = readTable(spark, table).filter(!col(partCol).isin(done.toSeq: _*))
+    val statsAggs = Seq(count(lit(1)).as("rows"),
+      // order-insensitive content fingerprint; bit_xor can't overflow
+      bit_xor(xxhash64(struct(snap.columns.sorted.map(col): _*))).as("xor")) ++
+      statsCol.toSeq.flatMap(c => Seq(
+        min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi")))
     val stats = snap
       .groupBy(col(partCol).as("part"))
-      .agg(count(lit(1)).as("rows"),
-        // order-insensitive content fingerprint; bit_xor can't overflow
-        bit_xor(xxhash64(struct(snap.columns.sorted.map(col): _*))).as("xor"))
+      .agg(statsAggs.head, statsAggs.tail: _*)
       .collect()
       .map(r => PartitionLineage(r.getString(0), r.getLong(1), r.getLong(2),
-        System.currentTimeMillis()))
+        System.currentTimeMillis(),
+        if (statsCol.isDefined) r.getDouble(3) else Double.NaN,
+        if (statsCol.isDefined) r.getDouble(4) else Double.NaN))
     if (stats.nonEmpty) {
-      val lines = stats.map(s =>
-        s"""{"part":"${s.part}","rows":${s.rows},"xor":${s.xor},"commit_ts":${s.commitTs}}""")
+      val lines = stats.map { s =>
+        val range = if (statsCol.isDefined) s""","lo":${s.lo},"hi":${s.hi}""" else ""
+        s"""{"part":"${s.part}","rows":${s.rows},"xor":${s.xor},"commit_ts":${s.commitTs}$range}"""
+      }
       Files.write(manifestFile(table),
         (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
     stats.toSeq
+  }
+
+  /** Stats-based partition skipping (the Iceberg column-statistics payoff):
+    * read only partitions whose manifest [lo, hi] range for the stats column
+    * overlaps [qLo, qHi] — manifest-level pruning BEFORE any file is opened,
+    * on top of parquet's own row-group stats. Partitions without recorded
+    * stats are conservatively kept. */
+  def readTableSkipping(spark: SparkSession, table: String, partCol: String,
+      qLo: Double, qHi: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val keep = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (Files.exists(manifestFile(table)))
+      Files.readAllLines(manifestFile(table)).asScala.foreach { l =>
+        """"part":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)).foreach { p =>
+          val lo = """"lo":(-?[\d.eE+]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+          val hi = """"hi":(-?[\d.eE+]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+          val overlaps = (lo, hi) match {
+            case (Some(a), Some(b)) => b >= qLo && a <= qHi
+            case _ => true // no stats recorded — cannot prune
+          }
+          if (overlaps) keep += p else keep -= p // last commit wins
+        }
+      }
+    readTable(spark, table).filter(col(partCol).isin(keep.toSeq: _*))
   }
 
   /** Read a snapshot table back with partition values kept as strings

@@ -60,4 +60,25 @@ class SnapshotsSpec extends SparkTestBase {
       .select("huc8").distinct().collect().map(_.getString(0)).toSet
     assert(nowParts == first.map(_.part).toSet)
   }
+
+  test("manifest column stats prune partitions before any file opens") {
+    val dir = Files.createTempDirectory("graft_skip").toString
+    val table = s"$dir/tiles"
+    val df = graft.ops.SpatialJoin.assign(spark, Synth.points(spark, sf0001))
+      .select(col("pid"), col("hydroid").cast("long").as("hydroid"), col("huc8"))
+    val lin = Snapshots.writeResumable(spark, df, table, "huc8", statsCol = Some("hydroid"))
+    assert(lin.forall(l => !l.lo.isNaN && l.hi >= l.lo))
+    // query a hydroid range that lives in few HUCs: manifest pruning must
+    // drop most partitions, and the pruned read must agree with brute force
+    val (qLo, qHi) = (100.0, 200.0)
+    val pruned = Snapshots.readTableSkipping(spark, table, "huc8", qLo, qHi)
+    val prunedParts = pruned.select("huc8").distinct().collect().map(_.getString(0)).toSet
+    val keptWithData = lin.filter(l => l.hi >= qLo && l.lo <= qHi).map(_.part).toSet
+    assert(prunedParts == keptWithData)
+    assert(prunedParts.size < lin.size / 2, s"pruning too weak: ${prunedParts.size}/${lin.size}")
+    val brute = Snapshots.readTable(spark, table)
+      .filter(col("hydroid") >= qLo && col("hydroid") <= qHi).count()
+    val viaPruned = pruned.filter(col("hydroid") >= qLo && col("hydroid") <= qHi).count()
+    assert(brute == viaPruned)
+  }
 }
