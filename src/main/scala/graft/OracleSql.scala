@@ -168,6 +168,56 @@ object OracleSql {
       |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id
       |)""".stripMargin
 
+  // ---- paragraph-level dedup (q73) ----
+
+  /** Words of each corpus doc (1-based split index → 0-based word pos);
+    * bounded series because this DuckDB build lacks lateral generate_series. */
+  val wrd: String =
+    """wrd AS (
+      |  SELECT doc_id, g.i - 1 AS p, ws[g.i] AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+      |  CROSS JOIN generate_series(1, 128) g(i)
+      |  WHERE g.i <= len(ws)
+      |)""".stripMargin
+
+  /** Fixed 12-word paragraphs, text rebuilt in word order. */
+  val par: String =
+    """par AS (
+      |  SELECT doc_id, CAST(floor(p / 12.0) AS INT) AS para_id,
+      |         string_agg(w, ' ' ORDER BY p) AS para
+      |  FROM wrd GROUP BY doc_id, CAST(floor(p / 12.0) AS INT)
+      |)""".stripMargin
+
+  /** First-occurrence winner per paragraph hash (ordered by doc, position). */
+  val kpt: String =
+    """kpt AS (
+      |  SELECT doc_id, para_id, para,
+      |    CASE WHEN row_number() OVER (PARTITION BY md5(para)
+      |           ORDER BY doc_id, para_id) = 1 THEN 1 ELSE 0 END AS kept
+      |  FROM par
+      |)""".stripMargin
+
+  // ---- URL canonicalization (q74) ----
+
+  /** Synthetic fetch log: 1–3 fetches per page with deterministic URL noise —
+    * mirror of [[graft.ops.WebCuration.fetchLog]] over
+    * [[graft.synth.Synth.pages]]. */
+  val flog: String =
+    """flog AS (
+      |  SELECT pid, f,
+      |    1700000000 + pid * 37 + f * 86400 AS fetch_ts,
+      |    (CASE WHEN (pid + f) % 7 = 0 THEN upper(url) ELSE url END)
+      |      || (CASE WHEN (pid + f) % 3 = 0
+      |            THEN '?utm_source=feed&ref=' || CAST(pid % 7 AS VARCHAR) ELSE '' END)
+      |      || (CASE WHEN (pid + f) % 4 = 0
+      |            THEN '#sec' || CAST(pid % 5 AS VARCHAR) ELSE '' END) AS raw
+      |  FROM (SELECT CAST(doc_id AS BIGINT) AS pid,
+      |          'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+      |        FROM documents)
+      |  CROSS JOIN generate_series(0, 2) g(f)
+      |  WHERE g.f <= pid % 3
+      |)""".stripMargin
+
   // ---- SRC calibration family (q52-q54) ----
 
   /** SRC with channel-geometry columns — mirror of

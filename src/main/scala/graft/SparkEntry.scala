@@ -545,6 +545,36 @@ object SparkEntry {
             lit(0L), (acc, z) => acc + z).as("dot"))
     }),
 
+    // paragraph-level global dedup (C4/CCNet boilerplate pass): first
+    // occurrence of each paragraph survives; docs report kept counts + the
+    // reassembled clean text
+    "q73_para_dedup" -> ((s, dir) =>
+      WebCuration.paragraphDedup(Synth.corpus(s, dir))),
+
+    // URL canonicalization + refetch collapse over the synthetic fetch log
+    // (strip query/fragment, lowercase, host extraction — split_part algebra)
+    "q74_url_canon" -> ((s, dir) =>
+      WebCuration.canonicalUrls(Synth.pages(s, dir))),
+
+    // CatFIM site-acceptance workflow: thresholds complete, record flow
+    // inside the rating curve's domain, coordinate-accuracy gate
+    "q75_catfim_sites" -> ((s, _) => CatFim.siteAcceptance(s)),
+
+    // MERGE INTO analog over the forecast snapshot: revised rows replace,
+    // new features insert, the rest pass through (anti-join + union)
+    "q76_merge_upsert" -> ((s, _) =>
+      graft.pipeline.Maintenance.mergeUpsert(
+        Synth.forecast(s), graft.pipeline.Maintenance.forecastRevisions(s), "feature_id")),
+
+    // compaction planning: bin-pack per-HUC8 partition sizes into ~4096-row
+    // rewrite tasks (Iceberg rewriteDataFiles planner as window algebra)
+    "q77_compaction" -> ((s, dir) =>
+      graft.pipeline.Maintenance.hucCompactionPlan(s, dir)),
+
+    // PII scrubbing: redact email/phone spans, count redactions per doc
+    "q78_pii_scrub" -> ((s, dir) =>
+      WebCuration.piiScrub(Synth.corpus(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1606,6 +1636,93 @@ object SparkEntry {
       """SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
         |FROM qt a JOIN qt b ON a.vec_id = b.vec_id - 1 AND a.pos = b.pos
         |GROUP BY a.vec_id""".stripMargin),
+
+    "q73_para_dedup" -> withCtes(corpus, wrd, par, kpt)(
+      """SELECT doc_id, count(*) AS n_paras, CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  string_agg(para, ' | ' ORDER BY para_id) FILTER (WHERE kept = 1) AS clean_text
+        |FROM kpt GROUP BY doc_id""".stripMargin),
+
+    "q74_url_canon" -> withCtes(flog,
+      """cano AS (
+        |  SELECT pid, fetch_ts,
+        |    lower(split_part(split_part(raw, '#', 1), '?', 1)) AS canon
+        |  FROM flog
+        |)""".stripMargin)(
+      """SELECT canon, split_part(canon, '/', 3) AS host,
+        |  count(*) AS n_fetches, max(fetch_ts) AS latest_ts, min(pid) AS first_pid
+        |FROM cano GROUP BY canon, split_part(canon, '/', 3)""".stripMargin),
+
+    "q75_catfim_sites" -> withCtes(ht,
+      """sites AS (
+        |  SELECT hydroid, m.m AS m,
+        |    CASE WHEN m.m = 0 THEN 'action' WHEN m.m = 1 THEN 'minor'
+        |         WHEN m.m = 2 THEN 'moderate' WHEN m.m = 3 THEN 'major'
+        |         ELSE 'record' END AS magnitude,
+        |    (((hydroid * 53 + 11) % 4000) / 10.0 + CAST(5.0 AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) + m.m * CAST(0.75 AS DOUBLE)) AS discharge
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)),
+        |       generate_series(0, 4) m(m)
+        |  WHERE hydroid % 41 = 0 AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """thrq AS (
+        |  SELECT hydroid, count(*) AS n_mags,
+        |    max(CASE WHEN magnitude = 'record' THEN discharge END) AS record_flow
+        |  FROM sites GROUP BY hydroid
+        |)""".stripMargin,
+      "qmx AS (SELECT hydroid, max(discharge_cms) AS q_curve_max FROM ht GROUP BY hydroid)")(
+      """SELECT t.hydroid, t.n_mags, t.record_flow, q.q_curve_max,
+        |  CAST(CASE WHEN t.record_flow <= q.q_curve_max THEN 1 ELSE 0 END AS INT) AS flow_in_range,
+        |  CAST(CASE WHEN t.hydroid % 11 <> 3 THEN 1 ELSE 0 END AS INT) AS coord_ok,
+        |  CAST(CASE WHEN t.record_flow <= q.q_curve_max AND t.hydroid % 11 <> 3
+        |            AND t.n_mags = 5 THEN 1 ELSE 0 END AS INT) AS accepted
+        |FROM thrq t JOIN qmx q ON t.hydroid = q.hydroid""".stripMargin),
+
+    "q76_merge_upsert" -> withCtes(fc,
+      """upd AS (
+        |  SELECT feature_id, discharge * CAST(1.2 AS DOUBLE) AS discharge
+        |  FROM fc WHERE feature_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 2000000 + x AS feature_id, ((x * 91 + 3) % 5000) / 10.0 AS discharge
+        |  FROM generate_series(0, 99) t(x)
+        |)""".stripMargin)(
+      """SELECT f.feature_id, f.discharge, 'base' AS src FROM fc f
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.feature_id = f.feature_id)
+        |UNION ALL
+        |SELECT feature_id, discharge, 'upd' AS src FROM upd""".stripMargin),
+
+    "q77_compaction" -> withCtes(pts, asg,
+      s"""sz AS (
+         |  SELECT $huc8FromHydroid AS huc8, count(*) AS n_rows
+         |  FROM asg GROUP BY 1
+         |)""".stripMargin,
+      """cum AS (
+        |  SELECT huc8, n_rows,
+        |    CAST(COALESCE(sum(n_rows) OVER (ORDER BY huc8
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM sz
+        |)""".stripMargin)(
+      """SELECT huc8, n_rows, cum_before,
+        |  CAST(floor(CAST(cum_before AS DOUBLE) / CAST(4096.0 AS DOUBLE)) AS BIGINT) AS task
+        |FROM cum""".stripMargin),
+
+    "q78_pii_scrub" -> withCtes(corpus,
+      """drt AS (
+        |  SELECT doc_id,
+        |    text || repeat(' user' || CAST(doc_id AS VARCHAR) || '@mail'
+        |                     || CAST(doc_id % 7 AS VARCHAR) || '.example.com',
+        |                   CAST(doc_id % 3 AS INT))
+        |         || (CASE WHEN doc_id % 5 = 0
+        |               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |               ELSE '' END) AS dirty
+        |  FROM corpus
+        |)""".stripMargin)(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z0-9.]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM drt""".stripMargin),
 
     "q41_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -73,6 +73,33 @@ object CatFim {
       .select(col("hydroid"), magName.as("category"), col("interval_stage"))
   }
 
+  /** Site-acceptance workflow (q75) — the CatFIM pre-flight that decides
+    * which AHPS sites get mapped at all
+    * (`tools/catfim/generate_categorical_fim_flows.py:370-440`: sites are
+    * rejected for missing thresholds, flows outside the rating curve's
+    * domain, or unacceptable coordinate-accuracy codes). Checks per site:
+    * all 5 magnitudes present, record flow within the rating curve's range
+    * (interp would otherwise clamp), and a coordinate-accuracy analog
+    * (`hydroid % 11 = 3` plays the bad `coord_acc_cd`).
+    *
+    * Scale shape: the threshold dimension is tiny (broadcast); the only scan
+    * over the big SRC is one partial-aggregating max per hydroid. */
+  def siteAcceptance(spark: SparkSession): DataFrame = {
+    val thr = siteThresholds(spark)
+    val rec = thr.filter(col("magnitude") === "record")
+      .select(col("hydroid"), col("discharge").as("record_flow"))
+    val mags = thr.groupBy(col("hydroid")).agg(count(lit(1)).as("n_mags"))
+    val qmax = Synth.hydrotable(spark)
+      .groupBy(col("hydroid")).agg(max(col("discharge_cms")).as("q_curve_max"))
+    qmax.join(broadcast(rec), "hydroid").join(broadcast(mags), "hydroid")
+      .withColumn("flow_in_range", (col("record_flow") <= col("q_curve_max")).cast("int"))
+      .withColumn("coord_ok", (col("hydroid") % 11 =!= 3).cast("int"))
+      .withColumn("accepted",
+        (col("flow_in_range") === 1 && col("coord_ok") === 1 && col("n_mags") === 5).cast("int"))
+      .select(col("hydroid"), col("n_mags"), col("record_flow"), col("q_curve_max"),
+        col("flow_in_range"), col("coord_ok"), col("accepted"))
+  }
+
   /** (hydroid, magnitude, mag_flow, stage_m, is_active): categorical stage
     * per site and magnitude + whether the current forecast activates it. */
   def catfimFlow(spark: SparkSession): DataFrame = {

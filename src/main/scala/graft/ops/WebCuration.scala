@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators beyond whole-document dedup: paragraph-level
+  * global dedup (the C4/CCNet pass that removes boilerplate lines repeated
+  * across pages), URL canonicalization + refetch collapse, and PII scrubbing
+  * (regex redaction). All arithmetic/hashing is md5 + integer/IEEE-double so
+  * the DuckDB oracle reproduces every value bit-for-bit.
+  *
+  * Scale notes: the paragraph explode is bounded (≤ [[MaxWords]] words per
+  * doc); the dedup winner is a row_number over the paragraph-hash shuffle —
+  * one exchange keyed on a 128-bit hash, the standard exact-dedup shape (at
+  * 100 TB you shard the same key space; no driver state anywhere). URL
+  * canonicalization is pure per-row string algebra (whole-stage codegen) plus
+  * one partial-aggregating groupBy on the canonical key.
+  */
+object WebCuration {
+
+  /** Words per synthetic paragraph (the corpus is single-space word text, so
+    * fixed word windows stand in for newline-delimited paragraphs). */
+  val ParaWords = 12
+
+  /** Static bound on words per doc (corpus max is 100; the oracle's
+    * generate_series needs a constant). */
+  val MaxWords = 128
+
+  /** (doc_id, para_id, para): fixed-word-window paragraphs, text rebuilt in
+    * word order. posexplode splits once per doc (the oracle mirrors with a
+    * bounded series over string_split). */
+  def paragraphs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      .withColumn("para_id", floor(col("p") / lit(ParaWords.toDouble)).cast("int"))
+      .groupBy(col("doc_id"), col("para_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("w")))), x => x("w")),
+        " ").as("para"))
+
+  /** Global paragraph-level dedup (q73): the first occurrence of each
+    * paragraph — ordered by (doc_id, para_id) — survives; all later copies
+    * are dropped. Returns one row per doc: paragraph counts and the cleaned
+    * text reassembled from surviving paragraphs (NULL when every paragraph of
+    * the doc was seen earlier, e.g. exact-clone docs). */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("para_id"))
+    val marked = paragraphs(docs)
+      .withColumn("h", md5(col("para")))
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+    marked
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"), sum(col("kept")).as("n_kept"),
+        // collect_list drops the nulls from the when(), so only kept
+        // paragraphs are sorted back into document order
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept") === 1, struct(col("para_id"), col("para"))))),
+            x => x("para")),
+          " | ").as("joined"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        when(col("n_kept") > 0, col("joined")).otherwise(lit(null)).as("clean_text"))
+  }
+
+  /** Synthetic fetch log over the pages table: 1–3 fetches per page
+    * (`f ∈ 0..pid%3`), each with deterministic URL noise — tracking query
+    * params, fragments, and uppercased hosts — and a distinct fetch epoch.
+    * This is the raw-crawl shape URL canonicalization has to collapse. */
+  def fetchLog(pages: DataFrame): DataFrame =
+    pages
+      .select(col("pid"), col("url"),
+        explode(sequence(lit(0L), col("pid") % 3)).as("f"))
+      .select(col("pid"), col("f"),
+        (lit(1700000000L) + col("pid") * 37 + col("f") * 86400).as("fetch_ts"),
+        concat(
+          when((col("pid") + col("f")) % 7 === 0, upper(col("url"))).otherwise(col("url")),
+          when((col("pid") + col("f")) % 3 === 0,
+            concat(lit("?utm_source=feed&ref="), (col("pid") % 7).cast("string"))).otherwise(lit("")),
+          when((col("pid") + col("f")) % 4 === 0,
+            concat(lit("#sec"), (col("pid") % 5).cast("string"))).otherwise(lit(""))).as("raw"))
+
+  /** URL canonicalization + refetch collapse (q74): strip fragment then query
+    * string, lowercase, take the host, and collapse the fetch log to one row
+    * per canonical URL with fetch count, latest fetch epoch, and owning page.
+    * Pure split_part/lower string algebra — no UDF, fully codegen'd. */
+  def canonicalUrls(pages: DataFrame): DataFrame =
+    fetchLog(pages)
+      .withColumn("canon",
+        lower(split_part(split_part(col("raw"), lit("#"), lit(1)), lit("?"), lit(1))))
+      .withColumn("host", split_part(col("canon"), lit("/"), lit(3)))
+      .groupBy(col("canon"), col("host"))
+      .agg(count(lit(1)).as("n_fetches"), max(col("fetch_ts")).as("latest_ts"),
+        min(col("pid")).as("first_pid"))
+
+  val EmailPat = "[a-z0-9]+@[a-z0-9.]+"
+  val PhonePat = "\\+1-555-[0-9]{4}"
+
+  /** Deterministically contaminated corpus: `doc_id % 3` synthetic emails and
+    * (for every 5th doc) one phone number appended to the text. (The repeat
+    * count is a column, so the SQL form of `repeat` is used — the Scala
+    * `functions.repeat` only accepts a literal count.) */
+  def contaminated(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        concat(lit(" user"), col("doc_id").cast("string"), lit("@mail"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com")).as("em"))
+      .select(col("doc_id"),
+        concat(col("text"),
+          expr("repeat(em, CAST(doc_id % 3 AS INT))"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("dirty"))
+
+  /** PII scrubbing (q78): redact email- and phone-shaped spans, reporting
+    * per-doc redaction counts. Patterns are RE2/Java-portable (plain char
+    * classes, no lookaround) so Spark and the DuckDB oracle agree. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    contaminated(docs)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(PhonePat), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(col("dirty"), EmailPat, "<EMAIL>"),
+          PhonePat, "<PHONE>").as("clean"))
+}

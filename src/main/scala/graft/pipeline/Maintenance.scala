@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.synth.Synth
+
+/** Snapshot-table maintenance — the two operations every Iceberg-style table
+  * needs between writes: MERGE-shaped upserts (revised forecasts replacing
+  * stale rows, new features appended) and small-file compaction planning
+  * (bin-packing undersized partitions into rewrite tasks).
+  */
+object Maintenance {
+
+  /** MERGE INTO analog: rows of `updates` replace same-key rows of `target`;
+    * unmatched update rows are inserts; everything else passes through. One
+    * anti-join + union — when `updates` is a small batch (the common case)
+    * Spark broadcasts it and the target never shuffles. `src` records
+    * provenance ('base' kept / 'upd' written this batch). */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, key: String): DataFrame =
+    target
+      .join(updates.select(col(key)), Seq(key), "left_anti")
+      .withColumn("src", lit("base"))
+      .unionByName(updates.withColumn("src", lit("upd")))
+
+  /** Deterministic revision batch for q76: every 13th feature's forecast is
+    * revised +20 %, and 100 brand-new feature ids arrive. */
+  def forecastRevisions(spark: SparkSession): DataFrame = {
+    val revised = Synth.forecast(spark)
+      .filter(col("feature_id") % 13 === 0)
+      .select(col("feature_id"), (col("discharge") * lit(1.2)).as("discharge"))
+    val inserts = spark.range(0, 100)
+      .select((col("id") + 2000000L).as("feature_id"),
+        (((col("id") * 91 + 3) % 5000) / lit(10.0)).as("discharge"))
+    revised.unionByName(inserts)
+  }
+
+  /** Compaction planning (q77) — the `rewriteDataFiles` bin-packer: walk the
+    * partitions in key order, accumulate row counts, and cut a rewrite task
+    * every `targetRows`. Input is MANIFEST-scale (one row per partition), so
+    * the single-task global window is deliberate and cheap — at 100 TB this
+    * table has one row per committed partition, not per data row; the heavy
+    * rewrite itself stays fully distributed (one task group per output bin). */
+  def compactionPlan(sizes: DataFrame, partCol: String, nRowsCol: String,
+      targetRows: Long): DataFrame = {
+    val w = Window.orderBy(col(partCol)).rowsBetween(Window.unboundedPreceding, -1)
+    sizes
+      .withColumn("cum_before", coalesce(sum(col(nRowsCol)).over(w), lit(0L)))
+      .withColumn("task",
+        floor(col("cum_before").cast("double") / lit(targetRows.toDouble)).cast("long"))
+  }
+
+  /** q77's concrete instance: per-HUC8 partition sizes of the points table,
+    * packed into ~4096-row rewrite tasks. */
+  def hucCompactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = graft.ops.SpatialJoin.assign(spark, Synth.points(spark, sfDir))
+      .groupBy(col("huc8")).agg(count(lit(1)).as("n_rows"))
+    compactionPlan(sizes, "huc8", "n_rows", 4096L)
+      .select(col("huc8"), col("n_rows"), col("cum_before"), col("task"))
+  }
+}

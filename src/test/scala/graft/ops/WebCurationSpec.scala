@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.synth.Synth
+import org.apache.spark.sql.functions._
+
+class WebCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val corpus = Synth.corpus(spark, sf0001).cache()
+
+  test("paragraph dedup: exact-clone docs keep zero paragraphs; kept total = distinct paragraphs") {
+    val out = WebCuration.paragraphDedup(corpus).cache()
+    // every paragraph of an exact clone (doc_id >= 2,000,000) already occurred
+    // in its original (lower doc_id) — nothing survives, clean_text is null
+    val clones = out.filter($"doc_id" >= 2000000L)
+    assert(clones.count() > 0)
+    assert(clones.filter($"n_kept" =!= 0 || $"clean_text".isNotNull).count() === 0)
+    // global invariant: kept paragraphs == distinct paragraph texts
+    val keptTotal = out.agg(sum($"n_kept")).as[Long].head()
+    val distinctParas = WebCuration.paragraphs(corpus).select($"para").distinct().count()
+    assert(keptTotal === distinctParas)
+    // an untouched unique doc keeps everything
+    val full = out.filter($"n_kept" === $"n_paras").count()
+    assert(full > 0)
+    out.unpersist()
+  }
+
+  test("url canonicalization collapses noise variants: one canonical per page, fetch counts preserved") {
+    val pages = Synth.pages(spark, sf0001)
+    val out = WebCuration.canonicalUrls(pages).cache()
+    val nPages = pages.count()
+    assert(out.count() === nPages) // noise never splits a page's fetches
+    // total fetches = sum over pages of (pid % 3 + 1)
+    val fetches = out.agg(sum($"n_fetches")).as[Long].head()
+    val expected = pages.select(sum(col("pid") % 3 + 1)).as[Long].head()
+    assert(fetches === expected)
+    // canonical urls carry no noise and lowercase hosts
+    assert(out.filter($"canon".contains("?") || $"canon".contains("#") ||
+      $"canon" =!= lower($"canon")).count() === 0)
+    out.unpersist()
+  }
+
+  test("pii scrub: clean text has no email/phone matches left, counts match the contamination rule") {
+    val out = WebCuration.piiScrub(corpus).cache()
+    assert(out.filter(
+      size(regexp_extract_all($"clean", lit(WebCuration.EmailPat), lit(0))) > 0 ||
+      size(regexp_extract_all($"clean", lit(WebCuration.PhonePat), lit(0))) > 0).count() === 0)
+    assert(out.filter($"n_emails" =!= ($"doc_id" % 3).cast("int")).count() === 0)
+    assert(out.filter($"n_phones" =!=
+      when($"doc_id" % 5 === 0, 1).otherwise(0)).count() === 0)
+    out.unpersist()
+  }
+
+  test("merge upsert: key-unique result, updates win, inserts present") {
+    import graft.pipeline.Maintenance
+    val target = Synth.forecast(spark)
+    val updates = Maintenance.forecastRevisions(spark)
+    val out = Maintenance.mergeUpsert(target, updates, "feature_id").cache()
+    assert(out.groupBy($"feature_id").count().filter($"count" > 1).count() === 0)
+    assert(out.count() === target.count() + 100) // inserts only grow the table
+    // a revised key carries the revised value
+    val k = 1000012L // divisible by 13 (13 × 76924)
+    val merged = out.filter($"feature_id" === k).select($"discharge", $"src").head()
+    val base = target.filter($"feature_id" === k).select($"discharge").as[Double].head()
+    assert(merged.getString(1) === "upd" && merged.getDouble(0) === base * 1.2)
+    out.unpersist()
+  }
+
+  test("compaction plan: tasks are contiguous in key order and bounded by target + one partition") {
+    import graft.pipeline.Maintenance
+    val plan = Maintenance.hucCompactionPlan(spark, sf0001).cache()
+    // task ids are non-decreasing in huc8 order
+    val rows = plan.orderBy($"huc8").select($"n_rows", $"task").as[(Long, Long)].collect()
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // each task's total stays under target + its largest member (bin-pack bound)
+    val byTask = plan.groupBy($"task")
+      .agg(sum($"n_rows").as("total"), max($"n_rows").as("biggest"))
+      .filter($"total" > lit(4096L) + $"biggest")
+    assert(byTask.count() === 0)
+    plan.unpersist()
+  }
+}
