@@ -94,4 +94,37 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("paragraph dedup: exactly 3 exchanges (para agg, hash window, doc agg), partial aggs map-side") {
+    val plan = physical(graft.ops.WebCuration.paragraphDedup(Synth.corpus(spark, sf0001)))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 3, plan.take(3000))
+    assert(plan.contains("partial_collect_list"), "paragraph assembly lost map-side combine")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("merge upsert: anti-join broadcasts the update batch (target never shuffles)") {
+    val plan = physical(Maintenance.mergeUpsert(
+      Synth.forecast(spark), Maintenance.forecastRevisions(spark), "feature_id"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "merge degraded to SMJ:\n" + plan.take(2000))
+  }
+
+  test("site acceptance: threshold dims broadcast; SRC max is a partial HashAggregate") {
+    val plan = physical(graft.ops.CatFim.siteAcceptance(spark))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 2, plan.take(3000))
+    assert(plan.contains("partial_max"), "curve max lost map-side combine")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "SRC side shuffled — dims should broadcast:\n" + plan.take(3000))
+  }
+
+  test("compaction plan: single-partition window only AFTER the manifest-scale agg") {
+    val plan = physical(Maintenance.hucCompactionPlan(spark, sf0001))
+    // the one SinglePartition exchange sits above the per-huc8 aggregate
+    // (manifest-scale rows), never above the raw points
+    val idx = plan.indexOf("Exchange SinglePartition")
+    assert(idx >= 0, plan.take(3000))
+    assert(plan.substring(idx).contains("HashAggregate"),
+      "global window placed below the partition-size aggregate:\n" + plan.take(3000))
+    assert("Exchange SinglePartition".r.findAllIn(plan).size === 1)
+  }
 }
