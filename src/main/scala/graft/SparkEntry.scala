@@ -575,6 +575,12 @@ object SparkEntry {
     "q78_pii_scrub" -> ((s, dir) =>
       WebCuration.piiScrub(Synth.corpus(s, dir))),
 
+    // G6 FULL donor ladder: short-reach rating graft with the reference's
+    // complete case ladder (upstream max-order winner / downstream / self)
+    // and the donor's curve applied back (add_crosswalk.py:110-318)
+    "q79_rating_graft_full" -> ((s, _) =>
+      StreamNet.ratingGraftFull(s, StreamNet.reaches(s))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1723,6 +1729,39 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM drt""".stripMargin),
+
+    "q79_rating_graft_full" -> withCtes(net, ht,
+      """shrt AS (
+        |  SELECT hydroid, to_node FROM net
+        |  WHERE ((hydroid % 13) + 5) * CAST(0.4 AS DOUBLE) < CAST(3.0 AS DOUBLE)
+        |    AND length_km < CAST(1.25 AS DOUBLE)
+        |    AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """upw AS (
+        |  SELECT hydroid, up_id AS up_donor FROM (
+        |    SELECT s.hydroid, u.hydroid AS up_id,
+        |      row_number() OVER (PARTITION BY s.hydroid
+        |        ORDER BY u.order_ DESC, u.hydroid) AS rn
+        |    FROM shrt s JOIN net u ON u.to_node = s.hydroid)
+        |  WHERE rn = 1
+        |)""".stripMargin,
+      """don AS (
+        |  SELECT s.hydroid,
+        |    COALESCE(w.up_donor, CASE WHEN s.to_node >= 0 THEN s.to_node END,
+        |             s.hydroid) AS donor_id,
+        |    CASE WHEN w.up_donor IS NOT NULL THEN 'upstream'
+        |         WHEN s.to_node >= 0 THEN 'downstream' ELSE 'self' END AS rule
+        |  FROM shrt s LEFT JOIN upw w ON s.hydroid = w.hydroid
+        |)""".stripMargin,
+      """kn AS (
+        |  SELECT hydroid AS donor_id, i, stage, discharge_cms AS discharge_grafted
+        |  FROM (SELECT hydroid, stage, discharge_cms,
+        |          CAST(round(stage / CAST(0.3048 AS DOUBLE)) AS BIGINT) AS i
+        |        FROM ht)
+        |  WHERE i % 21 = 0
+        |)""".stripMargin)(
+      """SELECT d.hydroid, d.donor_id, d.rule, k.i, k.stage, k.discharge_grafted
+        |FROM don d JOIN kn k ON k.donor_id = d.donor_id""".stripMargin),
 
     "q41_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -125,6 +125,56 @@ object StreamNet {
         when(col("length_km") < minLen && col("to_node") >= 0, col("to_node"))
           .otherwise(col("hydroid")))
 
+  /** G6 FULL donor ladder (q79) — the complete short-reach rating-curve graft
+    * of `src/add_crosswalk.py:110-230`. A reach is "short" when its catchment
+    * area AND length are under threshold and it is not a waterbody. The
+    * reference's pandas row-loop ladder becomes one aggregated self-join:
+    *   1. ≥1 upstream reaches → the upstream reach of max stream order, ties
+    *      to the lowest HydroID (the reference takes the first frame row;
+    *      its frames are HydroID-ordered) — covers both its "multiple
+    *      upstream" and "single upstream" cases;
+    *   2. no upstream, has downstream → the downstream reach (its
+    *      "no upstream segments; single downstream" case — our reach graph
+    *      has exactly one downstream per node);
+    *   3. otherwise → itself (its fallback).
+    * The graft replaces the short reach's curve with the donor's
+    * stage-indexed discharge (`add_crosswalk.py:275-318`); output keeps every
+    * 21st knot. `areasqkm = (hydroid % 13 + 5) · 0.4` is the deterministic
+    * synthetic catchment area (same base as the SRC geometry family).
+    *
+    * Scale shape: shorts ⋈ upstream is an equi-join on hydroid; the winner is
+    * a partial-aggregating min(struct(−order, id)); the curve graft is an
+    * equi-join into the SRC scan. No windows over the big table, no driver
+    * loops. */
+  def ratingGraftFull(spark: SparkSession, reachesDf: DataFrame,
+      minAreaSqKm: Double = 3.0, minLen: Double = 1.25): DataFrame = {
+    val shorts = reachesDf
+      .withColumn("areasqkm", ((col("hydroid") % 13) + 5) * lit(0.4))
+      .filter(col("areasqkm") < minAreaSqKm && col("length_km") < minLen &&
+        col("hydroid") % 97 =!= 0)
+      .select(col("hydroid"), col("to_node"))
+    val up = reachesDf.select(col("to_node").as("hydroid"),
+      col("hydroid").as("up_id"), col("order_").as("up_order"))
+    val upWinner = shorts.join(up, "hydroid")
+      .groupBy(col("hydroid"))
+      .agg(min(struct((-col("up_order")).as("no"), col("up_id").as("id"))).as("w"))
+      .select(col("hydroid"), col("w").getField("id").as("up_donor"))
+    val donors = shorts.join(upWinner, Seq("hydroid"), "left")
+      .select(col("hydroid"),
+        coalesce(col("up_donor"),
+          when(col("to_node") >= 0, col("to_node")),
+          col("hydroid")).as("donor_id"),
+        when(col("up_donor").isNotNull, lit("upstream"))
+          .when(col("to_node") >= 0, lit("downstream"))
+          .otherwise(lit("self")).as("rule"))
+    val knots = Synth.hydrotable(spark).filter(col("i") % 21 === 0)
+      .select(col("hydroid").as("donor_id"), col("i").cast("long").as("i"),
+        col("stage"), col("discharge_cms").as("discharge_grafted"))
+    donors.join(knots, "donor_id")
+      .select(col("hydroid"), col("donor_id"), col("rule"), col("i"), col("stage"),
+        col("discharge_grafted"))
+  }
+
   /** G8: waterbody walk — from each lake reach (hydroid % 97 == 0), follow
     * `to_node` downstream until the first non-lake reach (or the outlet);
     * per-HUC in-memory walk, same kernel family as arbolate/level-path. */

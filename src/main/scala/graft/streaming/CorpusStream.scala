@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.TextOps
+
+/** Streaming corpus ingestion — the incremental form of the batch curation
+  * pipeline (q50): a stream of crawled documents is exact-deduplicated on
+  * content hash with BOUNDED state (`dropDuplicatesWithinWatermark`: one
+  * state row per distinct hash inside the watermark horizon, evicted after),
+  * then pushed through the same quality gate as the batch path. The
+  * reference has no streaming surface at all; this is the engine's "crawl
+  * arrives continuously" upgrade of the dedup lifecycle.
+  *
+  * Scale notes: state is keyed by the 128-bit content hash — a revisit of a
+  * URL days later (outside the watermark) re-enters, which is the standard
+  * trade for bounded state at crawl scale; cross-horizon dedup belongs to the
+  * batch LSH pass (q15/q16) over the accumulated snapshot.
+  */
+object CorpusStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("event_ts", TimestampType)))
+
+  /** Exact-dedup + quality-gate a document stream. Emits
+    * (doc_id, event_ts, n_tokens, mean_word_len, stop_ratio) for documents
+    * that are first-seen (within the watermark horizon) AND pass the gate. */
+  def dedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream.schema(docSchema).parquet(dir)
+      .withColumn("h", md5(col("text")))
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h")
+    // same feature formulas as the batch quality gate (TextOps.quality)
+    TextOps.quality(docs.select(col("doc_id"), col("text"), col("event_ts")))
+      .filter(col("keep") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"), col("stop_ratio"))
+  }
+}

@@ -96,4 +96,42 @@ class OpsSpec extends SparkTestBase {
     val asg = SpatialJoin.assign(spark, points)
     assert(asg.filter(col("hydroid") % 97 === 0).count() > 0)
   }
+
+  test("G6 full donor ladder: upstream winner has max order; all three rules exercised") {
+    import spark.implicits._
+    val reaches = StreamNet.reaches(spark)
+    val donors = StreamNet.ratingGraftFull(spark, reaches)
+      .select($"hydroid", $"donor_id", $"rule").distinct().cache()
+    val rules = donors.groupBy($"rule").count().as[(String, Long)].collect().toMap
+    // 'self' can't occur in the synthetic network (every outlet has upstream
+    // reaches; every headwater has a downstream) — exercised separately below
+    assert(rules.keySet === Set("upstream", "downstream"), rules.toString)
+    // every upstream donor flows into its short reach and carries the max
+    // order among that reach's upstream set
+    val up = reaches.select($"to_node".as("hydroid"), $"hydroid".as("up_id"),
+      $"order_".as("up_order"))
+    val maxUp = up.groupBy($"hydroid").agg(max($"up_order").as("max_order"))
+    val bad = donors.filter($"rule" === "upstream")
+      .join(up.withColumnRenamed("up_id", "donor_id"), Seq("hydroid", "donor_id"))
+      .join(maxUp, "hydroid")
+      .filter($"up_order" =!= $"max_order")
+    assert(bad.count() === 0)
+    // downstream donors are the reach's own to_node; self donors are outlets
+    // with no upstream
+    val dn = donors.filter($"rule" === "downstream")
+      .join(reaches.select($"hydroid", $"to_node"), "hydroid")
+      .filter($"donor_id" =!= $"to_node")
+    assert(dn.count() === 0)
+    donors.unpersist()
+    // 'self' fallback: an isolated short reach (no upstream, no downstream)
+    // donates to itself. hydroid 13 → areasqkm = (13%13+5)*0.4 = 2.0 < 3,
+    // length 1.0 + (13%8)*0.125... must be < 1.25 → use hydroid 8 (len 1.0,
+    // area (8%13+5)*0.4 = 5.2 ≥ 3 — too big). Use hydroid 104: 104%13=0 →
+    // area 2.0; 104%8=0 → len 1.0; isolated via to_node = -1, no upstream.
+    val iso = Seq((104, "00000000", 1, 1.0, -1))
+      .toDF("hydroid", "huc8", "order_", "length_km", "to_node")
+    val selfDonor = StreamNet.ratingGraftFull(spark, iso)
+      .select($"rule").distinct().as[String].collect()
+    assert(selfDonor.toSeq === Seq("self"))
+  }
 }
