@@ -575,6 +575,17 @@ object SparkEntry {
     "q78_pii_scrub" -> ((s, dir) =>
       WebCuration.piiScrub(Synth.corpus(s, dir))),
 
+    // one distributed Lloyd (k-means) iteration: broadcast-centroid E-step,
+    // exact quantized M-step sums (order-insensitive where float means
+    // are not)
+    "q80_kmeans_step" -> ((s, dir) =>
+      AnnSearch.kmeansStep(s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // deterministic stratified subsample: per-language quota in
+    // content-hash order (training-mix balancing, no RNG)
+    "q81_stratified" -> ((s, dir) =>
+      WebCuration.stratifiedSample(Synth.corpus(s, dir))),
+
     // G6 FULL donor ladder: short-reach rating graft with the reference's
     // complete case ladder (upstream max-order winner / downstream / self)
     // and the donor's curve applied back (add_crosswalk.py:110-318)
@@ -1729,6 +1740,42 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM drt""".stripMargin),
+
+    "q80_kmeans_step" -> withCtes(qt, nrm,
+      "cvq AS (SELECT vec_id AS cid, pos, q AS cq FROM qt WHERE vec_id % 50 = 7)",
+      "cnr AS (SELECT vec_id AS cid, n2 AS cn2 FROM nrm WHERE vec_id % 50 = 7)",
+      """kmd AS (
+        |  SELECT a.vec_id, c.cid, CAST(sum(a.q * c.cq) AS BIGINT) AS dot
+        |  FROM qt a JOIN cvq c ON a.pos = c.pos
+        |  GROUP BY a.vec_id, c.cid
+        |)""".stripMargin,
+      """kms AS (
+        |  SELECT d.vec_id, d.cid, CAST(d.dot AS DOUBLE) / sqrt(CAST(n.cn2 AS DOUBLE)) AS score
+        |  FROM kmd d JOIN cnr n ON d.cid = n.cid
+        |)""".stripMargin,
+      """kma AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        |    FROM kms) WHERE rn = 1
+        |)""".stripMargin)(
+      """SELECT a.cid, q.pos, CAST(sum(q.q) AS BIGINT) AS sum_q,
+        |  count(*) AS n_members
+        |FROM qt q JOIN kma a ON q.vec_id = a.vec_id
+        |GROUP BY a.cid, q.pos""".stripMargin),
+
+    "q81_stratified" -> withCtes(corpus,
+      """shash AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM corpus
+        |)""".stripMargin,
+      """srank AS (
+        |  SELECT doc_id, lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+        |    CAST(ceil(count(*) OVER (PARTITION BY lang) * CAST(0.3 AS DOUBLE)) AS BIGINT) AS quota
+        |  FROM shash
+        |)""".stripMargin)(
+      "SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk, quota FROM srank WHERE rk <= quota"),
 
     "q79_rating_graft_full" -> withCtes(net, ht,
       """shrt AS (

@@ -160,6 +160,38 @@ object AnnSearch {
       .select(col("qvec"), col("rank"), col("vec"), col("cos"))
   }
 
+  /** One distributed Lloyd (k-means) iteration over the quantized embeddings
+    * (q80) — the clustering step every IVF/embedding-curation pipeline
+    * re-runs at scale. E-step: argmax-cosine assignment against the
+    * deterministic coarse centroid subset (`vec_id % centroidMod == 7`, the
+    * same quantizer [[ivfTopK]] probes). M-step: per-(cluster, dim) EXACT
+    * BIGINT component sums + member counts — quantized sums are
+    * order-insensitive where float means are not; the caller divides when a
+    * float centroid is wanted.
+    *
+    * Scale shape: centroids broadcast; the E-step is one partial-aggregating
+    * groupBy per (vector, centroid) dot; the M-step is one partial-aggregating
+    * groupBy on (cluster, dim) — two bounded shuffles, no iteration inside
+    * the plan (drive rounds from the caller). */
+  def kmeansStep(emb: DataFrame, centroidMod: Int = 50): DataFrame = {
+    val q = quantized(emb).cache()
+    val cq = q.filter(col("vec_id") % centroidMod === 7)
+      .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+    val cn = norms(q).filter(col("vec_id") % centroidMod === 7)
+      .select(col("vec_id").as("cid"), col("n2").as("cn2"))
+    val assign = q.join(broadcast(cq), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("q") * col("cq")).as("dot"))
+      .join(broadcast(cn), "cid")
+      .withColumn("score", col("dot").cast("double") / sqrt(col("cn2").cast("double")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    q.join(assign, "vec_id")
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_members"))
+  }
+
   /** Adaptive SRP bit count: the smallest b with 2^b ≥ ceil(n/targetBucket),
     * clamped to [2, 16] — so expected bucket population stays ≈ targetBucket
     * as the corpus grows and intra-bucket pair work stays ~n·targetBucket

@@ -93,6 +93,25 @@ object WebCuration {
       .agg(count(lit(1)).as("n_fetches"), max(col("fetch_ts")).as("latest_ts"),
         min(col("pid")).as("first_pid"))
 
+  /** Deterministic stratified subsample (q81) — training-mix balancing: per
+    * language, keep the first ceil(frac · n_lang) documents in content-hash
+    * order (md5 of the id — a fixed pseudo-random permutation, so the sample
+    * is reproducible across runs/engines with no RNG). The per-stratum rank
+    * is the standard exact-quota shuffle: one window per stratum. At corpus
+    * scale a skewed stratum serializes its partition — acceptable for
+    * stratum-count ≪ corpus (languages), or swap in a per-stratum hash
+    * threshold when approximate quotas suffice. */
+  def stratifiedSample(docs: DataFrame, frac: Double = 0.3): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val cw = Window.partitionBy(col("lang"))
+    docs.select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("quota", ceil(count(lit(1)).over(cw) * lit(frac)).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
+  }
+
   val EmailPat = "[a-z0-9]+@[a-z0-9.]+"
   val PhonePat = "\\+1-555-[0-9]{4}"
 

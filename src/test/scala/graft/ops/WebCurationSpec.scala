@@ -67,6 +67,33 @@ class WebCurationSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("stratified sample: exact per-language quota, deterministic across runs") {
+    val out = WebCuration.stratifiedSample(corpus).cache()
+    val kept = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val totals = corpus.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      assert(kept(lang) === math.ceil(n * 0.3).toLong, s"lang=$lang n=$n")
+    }
+    // no RNG: a second evaluation picks the identical doc set
+    val a = out.select($"doc_id").as[Long].collect().sorted
+    val b = WebCuration.stratifiedSample(corpus).select($"doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    out.unpersist()
+  }
+
+  test("k-means step: every vector lands in one cluster; member counts total the corpus") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = AnnSearch.kmeansStep(emb).cache()
+    val nVecs = emb.count()
+    // each (cid, pos) row counts that cluster's members; at any fixed pos the
+    // counts across clusters partition the corpus
+    val atPos0 = out.filter($"pos" === 0).agg(sum($"n_members")).as[Long].head()
+    assert(atPos0 === nVecs)
+    // all cluster ids come from the deterministic quantizer subset
+    assert(out.filter($"cid" % 50 =!= 7).count() === 0)
+    out.unpersist()
+  }
+
   test("compaction plan: tasks are contiguous in key order and bounded by target + one partition") {
     import graft.pipeline.Maintenance
     val plan = Maintenance.hucCompactionPlan(spark, sf0001).cache()
