@@ -117,6 +117,21 @@ object Snapshots {
     finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
+  /** Schema-evolution read (the Iceberg add-column story): partitions written
+    * before a column existed surface it as NULL. `mergeSchema` unions the
+    * per-file parquet schemas at planning time; column pruning and filter
+    * pushdown still reach each file (a file without the column contributes
+    * nulls, never a scan error). Pair with [[writeResumable]]: later commits
+    * may carry a superset schema and old partitions stay readable unchanged —
+    * no rewrite of committed data. */
+  def readTableEvolved(spark: SparkSession, table: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.option("mergeSchema", "true").parquet(table)
+    finally old.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   /** Snapshot (time-travel) read: the table as of `asOfTs` — only partitions
     * whose manifest commit timestamp is ≤ `asOfTs` are visible, the
     * Iceberg-snapshot-read analog over the append-only manifest log. A

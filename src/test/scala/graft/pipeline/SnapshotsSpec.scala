@@ -81,4 +81,27 @@ class SnapshotsSpec extends SparkTestBase {
     val viaPruned = pruned.filter(col("hydroid") >= qLo && col("hydroid") <= qHi).count()
     assert(brute == viaPruned)
   }
+
+  test("schema evolution: old partitions surface a later-added column as NULL, no rewrite") {
+    val dir = Files.createTempDirectory("graft_evo").toString
+    val table = s"$dir/tiles"
+    val base = graft.ops.SpatialJoin.assign(spark, Synth.points(spark, sf0001))
+      .select(col("pid"), col("hydroid").cast("long").as("hydroid"), col("huc8"))
+    // epoch 1: two partitions, v1 schema (no depth column)
+    val parts = base.select("huc8").distinct().limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val v1 = base.filter(col("huc8") === parts.head)
+    Snapshots.writeResumable(spark, v1, table, "huc8")
+    // epoch 2: another partition arrives with an added column
+    val v2 = base.filter(col("huc8") === parts(1))
+      .withColumn("depth", col("hydroid") * 0.5)
+    Snapshots.writeResumable(spark, v2, table, "huc8")
+    val evolved = Snapshots.readTableEvolved(spark, table)
+    assert(evolved.columns.contains("depth"))
+    // old partition reads depth as NULL; new partition carries values
+    assert(evolved.filter(col("huc8") === parts.head && col("depth").isNotNull).count() == 0)
+    assert(evolved.filter(col("huc8") === parts(1) && col("depth").isNull).count() == 0)
+    // both epochs fully readable: row counts survive evolution
+    assert(evolved.count() == v1.count() + v2.count())
+  }
 }
