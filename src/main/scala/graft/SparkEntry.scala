@@ -575,6 +575,10 @@ object SparkEntry {
     "q78_pii_scrub" -> ((s, dir) =>
       WebCuration.piiScrub(Synth.corpus(s, dir))),
 
+    // sierra test: FIM SRC vs USGS rating curve interpolated at the 5 NWM
+    // recurrence-interval flows, per-gage elevation differences
+    "q82_sierra" -> ((s, _) => Calibration.sierraTest(s)),
+
     // one distributed Lloyd (k-means) iteration: broadcast-centroid E-step,
     // exact quantized M-step sums (order-insensitive where float means
     // are not)
@@ -1740,6 +1744,65 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM drt""".stripMargin),
+
+    "q82_sierra" -> withCtes(ht,
+      """usgk AS (
+        |  SELECT hydroid, stage,
+        |    (hydroid % 9 + 2) * stage
+        |      + ((hydroid % 4) * CAST(0.3 AS DOUBLE) + CAST(0.4 AS DOUBLE)) * stage * stage AS discharge_cms
+        |  FROM (SELECT h.hydroid, s.i * CAST(0.3048 AS DOUBLE) AS stage
+        |        FROM (SELECT a.x * 144 + b.x AS hydroid
+        |              FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)) h,
+        |             generate_series(0, 83) s(i))
+        |  WHERE hydroid % 199 = 0 AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """rcr AS (
+        |  SELECT hydroid,
+        |    CASE k.k WHEN 0 THEN 2 WHEN 1 THEN 5 WHEN 2 THEN 10 WHEN 3 THEN 25
+        |         ELSE 50 END AS interval,
+        |    (((hydroid * 37 + 19) % 3000) / 10.0 + CAST(10.0 AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) + k.k * CAST(0.8 AS DOUBLE)) AS discharge
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)),
+        |       generate_series(0, 4) k(k)
+        |  WHERE hydroid % 199 = 0 AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """fstg AS (
+        |  SELECT hydroid, interval, discharge,
+        |    CASE WHEN max(CASE WHEN discharge_cms <= discharge THEN stage END) IS NULL THEN min(stage)
+        |         WHEN min(CASE WHEN discharge_cms > discharge THEN stage END) IS NULL THEN max(stage)
+        |         ELSE max(CASE WHEN discharge_cms <= discharge THEN stage END)
+        |            + (max(discharge) - max(CASE WHEN discharge_cms <= discharge THEN discharge_cms END))
+        |            * (min(CASE WHEN discharge_cms > discharge THEN stage END)
+        |               - max(CASE WHEN discharge_cms <= discharge THEN stage END))
+        |            / (min(CASE WHEN discharge_cms > discharge THEN discharge_cms END)
+        |               - max(CASE WHEN discharge_cms <= discharge THEN discharge_cms END))
+        |    END AS fim_stage
+        |  FROM (SELECT h.hydroid, h.stage, h.discharge_cms, r.interval, r.discharge
+        |        FROM ht h JOIN rcr r ON h.hydroid = r.hydroid
+        |        WHERE h.hydroid % 199 = 0 AND h.hydroid % 97 <> 0)
+        |  GROUP BY hydroid, interval, discharge
+        |)""".stripMargin,
+      """ustg AS (
+        |  SELECT hydroid, interval, discharge,
+        |    CASE WHEN max(CASE WHEN discharge_cms <= discharge THEN stage END) IS NULL THEN min(stage)
+        |         WHEN min(CASE WHEN discharge_cms > discharge THEN stage END) IS NULL THEN max(stage)
+        |         ELSE max(CASE WHEN discharge_cms <= discharge THEN stage END)
+        |            + (max(discharge) - max(CASE WHEN discharge_cms <= discharge THEN discharge_cms END))
+        |            * (min(CASE WHEN discharge_cms > discharge THEN stage END)
+        |               - max(CASE WHEN discharge_cms <= discharge THEN stage END))
+        |            / (min(CASE WHEN discharge_cms > discharge THEN discharge_cms END)
+        |               - max(CASE WHEN discharge_cms <= discharge THEN discharge_cms END))
+        |    END AS usgs_stage
+        |  FROM (SELECT u.hydroid, u.stage, u.discharge_cms, r.interval, r.discharge
+        |        FROM usgk u JOIN rcr r ON u.hydroid = r.hydroid)
+        |  GROUP BY hydroid, interval, discharge
+        |)""".stripMargin)(
+      """SELECT f.hydroid, f.interval, f.discharge AS flow, f.fim_stage,
+        |  u.usgs_stage, f.fim_stage - u.usgs_stage AS elev_diff
+        |FROM fstg f JOIN ustg u
+        |  ON f.hydroid = u.hydroid AND f.interval = u.interval
+        |     AND f.discharge = u.discharge""".stripMargin),
 
     "q80_kmeans_step" -> withCtes(qt, nrm,
       "cvq AS (SELECT vec_id AS cid, pos, q AS cq FROM qt WHERE vec_id % 50 = 7)",

@@ -304,4 +304,46 @@ object Calibration {
       groupCoef.as("group_calb_coef"),
       coalesce(col("calb_hydroid"), groupCoef).as("calb_final"))
   }
+
+  /** Sierra test (q82) — `tools/rating_curve_comparison.py:83-260`: at each
+    * NWM recurrence-interval flow (2/5/10/25/50-year) every gage site
+    * interpolates BOTH its FIM SRC and its USGS rating curve (np.interp
+    * semantics, [[RatingInterp.stageExpr]]) and reports the per-(gage,
+    * interval) elevation difference — the reference's headline SRC-vs-USGS
+    * evaluation. The USGS curve is a deterministically different Manning
+    * parameterization of the same knot ladder.
+    *
+    * Scale shape: the recurrence dimension (5 rows per gage) broadcasts into
+    * both knot scans; each interp is one partial-aggregating groupBy; the
+    * final join is keyed on the (gage, interval) grain — all bounded. */
+  def sierraTest(spark: SparkSession): DataFrame = {
+    val gage = col("hydroid") % 199 === 0 && col("hydroid") % 97 =!= 0
+    val fim = Synth.hydrotable(spark).filter(gage)
+      .select(col("hydroid"), col("stage"), col("discharge_cms"))
+    val usgs = spark.range(0, (Synth.CatRows * Synth.CatCols).toLong)
+      .select(col("id").as("hydroid")).filter(gage)
+      .withColumn("i", explode(sequence(lit(0), lit(Synth.StageKnots - 1))))
+      .withColumn("stage", col("i") * lit(Synth.StageStep))
+      .withColumn("discharge_cms",
+        (col("hydroid") % 9 + 2) * col("stage")
+          + ((col("hydroid") % 4) * lit(0.3) + lit(0.4)) * col("stage") * col("stage"))
+      .select(col("hydroid"), col("stage"), col("discharge_cms"))
+    val recurr = spark.range(0, (Synth.CatRows * Synth.CatCols).toLong)
+      .select(col("id").as("hydroid")).filter(gage)
+      .withColumn("k", explode(sequence(lit(0), lit(4))))
+      .select(col("hydroid"),
+        element_at(array(lit(2), lit(5), lit(10), lit(25), lit(50)), col("k") + 1)
+          .as("interval"),
+        ((((col("hydroid") * 37 + 19) % 3000) / lit(10.0) + lit(10.0))
+          * (lit(1.0) + col("k") * lit(0.8))).as("discharge"))
+    def interpAt(knots: DataFrame, out: String): DataFrame =
+      knots.join(broadcast(recurr), "hydroid")
+        .groupBy(col("hydroid"), col("interval"), col("discharge"))
+        .agg(RatingInterp.stageExpr.as(out))
+    interpAt(fim, "fim_stage")
+      .join(interpAt(usgs, "usgs_stage"), Seq("hydroid", "interval", "discharge"))
+      .select(col("hydroid"), col("interval"), col("discharge").as("flow"),
+        col("fim_stage"), col("usgs_stage"),
+        (col("fim_stage") - col("usgs_stage")).as("elev_diff"))
+  }
 }

@@ -82,6 +82,28 @@ class SnapshotsSpec extends SparkTestBase {
     assert(brute == viaPruned)
   }
 
+  test("curation pipeline: curate -> snapshot commit, kill one partition, resume recommits only it") {
+    val dir = Files.createTempDirectory("graft_curate").toString
+    val table = s"$dir/curated"
+    val first = CuratePipeline.run(spark, sf0001, table)
+    assert(first.nonEmpty)
+    val expected = graft.ops.TextOps.curate(Synth.corpus(spark, sf0001)).count()
+    assert(Snapshots.readTable(spark, table).count() == expected)
+    // token-count stats recorded for skipping
+    assert(first.forall(l => !l.lo.isNaN && l.hi >= l.lo))
+    // kill one partition (files + manifest lines), rerun
+    val victim = first.head.part
+    val manifest = Paths.get(table, "_graft_manifest", "lineage.jsonl")
+    val keep = Files.readAllLines(manifest).asScala
+      .filterNot(_.contains(s""""part":"$victim""""))
+    Files.write(manifest, keep.mkString("", "\n", "\n").getBytes)
+    val partDir = Paths.get(table, s"lang=$victim")
+    Files.walk(partDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val second = CuratePipeline.run(spark, sf0001, table)
+    assert(second.map(_.part) == Seq(victim), s"resume recommitted ${second.map(_.part)}")
+    assert(Snapshots.readTable(spark, table).count() == expected)
+  }
+
   test("schema evolution: old partitions surface a later-added column as NULL, no rewrite") {
     val dir = Files.createTempDirectory("graft_evo").toString
     val table = s"$dir/tiles"
