@@ -575,6 +575,11 @@ object SparkEntry {
     "q78_pii_scrub" -> ((s, dir) =>
       WebCuration.piiScrub(Synth.corpus(s, dir))),
 
+    // incremental dedup: new batch LSH-checked against the existing corpus
+    // only (no batch×batch / base×base pairs; no corpus-wide re-LSH)
+    "q83_incr_dedup" -> ((s, dir) =>
+      TextOps.incrementalDedup(Synth.corpus(s, dir))),
+
     // sierra test: FIM SRC vs USGS rating curve interpolated at the 5 NWM
     // recurrence-interval flows, per-gage elevation differences
     "q82_sierra" -> ((s, _) => Calibration.sierraTest(s)),
@@ -1744,6 +1749,32 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM drt""".stripMargin),
+
+    "q83_incr_dedup" -> withCtes(corpus, sh, mh, bnd, prs,
+      "iprs AS (SELECT doc_a, doc_b FROM prs WHERE doc_a < 1000000 AND doc_b >= 1000000)",
+      """dsh AS (SELECT DISTINCT doc_id,
+        |  CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS hb FROM sh)""".stripMargin,
+      "sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id)",
+      """inter AS (
+        |  SELECT p2.doc_a, p2.doc_b, count(*) AS i
+        |  FROM iprs p2 JOIN dsh a ON p2.doc_a = a.doc_id
+        |  JOIN dsh b ON p2.doc_b = b.doc_id AND a.hb = b.hb
+        |  GROUP BY p2.doc_a, p2.doc_b
+        |)""".stripMargin,
+      """ij AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(coalesce(i.i, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS DOUBLE) AS jaccard
+        |  FROM iprs p
+        |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |  JOIN sz sa ON sa.doc_id = p.doc_a
+        |  JOIN sz sb ON sb.doc_id = p.doc_b
+        |)""".stripMargin)(
+      """SELECT doc_b AS doc_id, doc_a AS match_doc, jaccard,
+        |  CAST(CASE WHEN jaccard >= CAST(0.9 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM (SELECT doc_a, doc_b, jaccard,
+        |        row_number() OVER (PARTITION BY doc_b ORDER BY jaccard DESC, doc_a ASC) AS rn
+        |      FROM ij)
+        |WHERE rn = 1""".stripMargin),
 
     "q82_sierra" -> withCtes(ht,
       """usgk AS (

@@ -193,6 +193,40 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("mean_word_len"), col("stop_ratio"))
   }
 
+  /** Incremental near-dup check (q83) — the PRODUCTION dedup shape: a new
+    * crawl batch (doc_id ≥ `idSplit`) is LSH-checked AGAINST the existing
+    * corpus only. Batch bands join base bands (no batch×batch or base×base
+    * pairs ever materialize), candidates get the exact n-gram Jaccard
+    * verify, and each new doc reports its best base match + a dup verdict.
+    * At scale the base's band table is a precomputed artifact — the batch
+    * never triggers a corpus-wide re-LSH, and the bucket join only shuffles
+    * the (small) batch side against the base's existing band partitioning. */
+  def incrementalDedup(docs: DataFrame, idSplit: Long = 1000000L,
+      jaccardMax: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleHashes(docs)
+    val bands = bandsOf(minhashWideFrom(sh))
+    val keys = Seq("band", "k0", "k1", "k2", "k3")
+    val base = bands.filter(col("doc_id") < idSplit).withColumnRenamed("doc_id", "doc_a")
+    val batch = bands.filter(col("doc_id") >= idSplit).withColumnRenamed("doc_id", "doc_b")
+    val pairs = base.join(batch, keys).select("doc_a", "doc_b").distinct().cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val jac = pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("sza") + col("szb") - col("i")).cast("double")).as("jaccard"))
+    val w = Window.partitionBy(col("doc_b")).orderBy(col("jaccard").desc, col("doc_a").asc)
+    jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("match_doc"), col("jaccard"),
+        (col("jaccard") >= jaccardMax).cast("int").as("is_dup"))
+  }
+
   // ---- text analysis ----
 
   /** Occurrences of `marker` in ' '+text+' ' via the replace-length trick

@@ -71,4 +71,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
     a.collect().foreach(r => if (r.getLong(2) == 4) assert(r.getString(1).length == 128))
   }
+
+  test("incremental dedup: every exact clone is flagged dup against its own original") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.incrementalDedup(corpus).cache()
+    // the batch side only (ids >= 1e6); base docs never appear as doc_id
+    assert(out.filter(col("doc_id") < 1000000L).count() == 0)
+    // exact clones (+2e6) share every shingle with their original: jaccard 1,
+    // best match = the original, flagged dup
+    val clones = out.filter(col("doc_id") >= 2000000L)
+    assert(clones.count() > 0)
+    val wrong = clones.filter(col("is_dup") =!= 1 ||
+      col("jaccard") =!= 1.0 || col("match_doc") =!= col("doc_id") - 2000000L)
+    assert(wrong.count() == 0, wrong.collect().take(3).mkString(", "))
+    out.unpersist()
+  }
 }
