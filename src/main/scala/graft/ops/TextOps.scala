@@ -203,22 +203,44 @@ object TextOps {
     * the (small) batch side against the base's existing band partitioning. */
   def incrementalDedup(docs: DataFrame, idSplit: Long = 1000000L,
       jaccardMax: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingleHashes(docs)
     val bands = bandsOf(minhashWideFrom(sh))
+    incrementalDedupAgainst(
+      sh.filter(col("doc_id") < idSplit), bands.filter(col("doc_id") < idSplit),
+      sh.filter(col("doc_id") >= idSplit), bands.filter(col("doc_id") >= idSplit),
+      jaccardMax)
+  }
+
+  /** The two PERSISTED artifacts a production incremental-dedup service keeps
+    * per corpus snapshot: the distinct (doc_id, hb) shingle-hash table and
+    * the LSH band table. Write them once (e.g. via `Snapshots`), feed them to
+    * [[incrementalDedupAgainst]] for every arriving batch. */
+  def dedupArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = shingleHashes(docs)
+    (sh, bandsOf(minhashWideFrom(sh)))
+  }
+
+  /** Incremental dedup of a batch against PRECOMPUTED base artifacts —
+    * nothing on the base side is recomputed; only the batch is shingled and
+    * banded. Candidate pairs are base-band ⋈ batch-band; the exact Jaccard
+    * verify reads each side's own shingle table. */
+  def incrementalDedupAgainst(baseSh: DataFrame, baseBands: DataFrame,
+      batchSh: DataFrame, batchBands: DataFrame,
+      jaccardMax: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val keys = Seq("band", "k0", "k1", "k2", "k3")
-    val base = bands.filter(col("doc_id") < idSplit).withColumnRenamed("doc_id", "doc_a")
-    val batch = bands.filter(col("doc_id") >= idSplit).withColumnRenamed("doc_id", "doc_b")
+    val base = baseBands.withColumnRenamed("doc_id", "doc_a")
+    val batch = batchBands.withColumnRenamed("doc_id", "doc_b")
     val pairs = base.join(batch, keys).select("doc_a", "doc_b").distinct().cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sza = baseSh.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("sza"))
+    val szb = batchSh.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("szb"))
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
+      .join(baseSh.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
+      .join(batchSh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     val jac = pairs.join(inter, Seq("doc_a", "doc_b"), "left")
       .withColumn("i", coalesce(col("i"), lit(0L)))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .join(sza, "doc_a").join(szb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") / (col("sza") + col("szb") - col("i")).cast("double")).as("jaccard"))
     val w = Window.partitionBy(col("doc_b")).orderBy(col("jaccard").desc, col("doc_a").asc)

@@ -86,4 +86,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(wrong.count() == 0, wrong.collect().take(3).mkString(", "))
     out.unpersist()
   }
+
+  test("incremental dedup against PERSISTED base artifacts == in-memory form (no base recompute)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_artifacts").toString
+    val base = corpus.filter(col("doc_id") < 1000000L)
+    val batch = corpus.filter(col("doc_id") >= 1000000L)
+    // snapshot the base's dedup artifacts once
+    val (sh, bands) = TextOps.dedupArtifacts(base)
+    sh.write.parquet(s"$dir/base_sh"); bands.write.parquet(s"$dir/base_bands")
+    // an arriving batch only shingles/bands itself
+    val (bsh, bbands) = TextOps.dedupArtifacts(batch)
+    val viaArtifacts = TextOps.incrementalDedupAgainst(
+      spark.read.parquet(s"$dir/base_sh"), spark.read.parquet(s"$dir/base_bands"),
+      bsh, bbands)
+    val direct = TextOps.incrementalDedup(corpus)
+    assert(viaArtifacts.except(direct).isEmpty && direct.except(viaArtifacts).isEmpty)
+  }
 }
