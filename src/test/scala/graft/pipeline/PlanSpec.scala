@@ -117,6 +117,16 @@ class PlanSpec extends SparkTestBase {
       "SRC side shuffled — dims should broadcast:\n" + plan.take(3000))
   }
 
+  test("top-k window filters trigger WindowGroupLimit (bounded per-group state, no full-sort blowup)") {
+    // rn <= constant k over row_number windows must hit Spark's group-limit
+    // pushdown — each partition keeps only k rows per group before the
+    // window sort. (q81's quota is a COLUMN, so it legitimately cannot.)
+    for (q <- Seq("q21_ann_brute", "q34_keep_largest")) {
+      val plan = physical(graft.SparkEntry.queries(q)(spark, sf0001))
+      assert(plan.contains("WindowGroupLimit"), s"$q lost WindowGroupLimit:\n" + plan.take(2000))
+    }
+  }
+
   test("compaction plan: single-partition window only AFTER the manifest-scale agg") {
     val plan = physical(Maintenance.hucCompactionPlan(spark, sf0001))
     // the one SinglePartition exchange sits above the per-huc8 aggregate
