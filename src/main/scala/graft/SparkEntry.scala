@@ -575,6 +575,11 @@ object SparkEntry {
     "q78_pii_scrub" -> ((s, dir) =>
       WebCuration.piiScrub(Synth.corpus(s, dir))),
 
+    // multimodal frame sampling: evenly-strided byte windows per binary
+    // payload (video frame-sample plumbing as a relational generator)
+    "q84_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Synth.pages(s, dir))),
+
     // incremental dedup: new batch LSH-checked against the existing corpus
     // only (no batch×batch / base×base pairs; no corpus-wide re-LSH)
     "q83_incr_dedup" -> ((s, dir) =>
@@ -1749,6 +1754,21 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM drt""".stripMargin),
+
+    "q84_frame_sample" -> withCtes(
+      """pgs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS pid, text, length(text) AS n_bytes
+        |  FROM documents
+        |)""".stripMargin,
+      """frq AS (
+        |  SELECT pid, k.k AS k, text,
+        |    1 + k.k * CAST(floor((n_bytes - 24) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS off
+        |  FROM pgs CROSS JOIN generate_series(0, 3) k(k)
+        |  WHERE n_bytes >= 24
+        |)""".stripMargin)(
+      """SELECT pid, CAST(k AS INT) AS k, CAST(off AS INT) AS off,
+        |  md5(substring(text, CAST(off AS INT), 24)) AS frame_md5
+        |FROM frq""".stripMargin),
 
     "q83_incr_dedup" -> withCtes(corpus, sh, mh, bnd, prs,
       "iprs AS (SELECT doc_a, doc_b FROM prs WHERE doc_a < 1000000 AND doc_b >= 1000000)",

@@ -44,6 +44,22 @@ object Multimodal {
       // frame-sample analog: fixed-offset byte slices of the payload
       md5(expr("substring(html, 33, 32)")).as("frame1_md5"))
 
+  /** Frame sampling (q84): `nFrames` evenly-strided fixed-length byte windows
+    * per binary payload — the video frame-sample plumbing as a relational
+    * generator (explode over frame index; substring on the binary column
+    * stays codegen'd). Payloads shorter than one frame are dropped (full
+    * frames only, codec semantics). Oracle-checkable because the corpus is
+    * ASCII (byte offsets == char offsets, locked by MultimodalSpec). */
+  def frameSample(pages: DataFrame, nFrames: Int = 4, frameLen: Int = 24): DataFrame =
+    pages.select(col("pid"), col("html"), length(col("html")).as("n_bytes"))
+      .filter(col("n_bytes") >= frameLen)
+      .withColumn("k", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("off",
+        (lit(1) + col("k") * floor((col("n_bytes") - lit(frameLen)) / lit(nFrames.toDouble))
+          .cast("int")).cast("int"))
+      .select(col("pid"), col("k").cast("int").as("k"), col("off"),
+        md5(expr(s"substring(html, off, $frameLen)")).as("frame_md5"))
+
   /** Batch kernel path (mapPartitions — §2.10 preference (d), used only here
     * where a black-box codec genuinely can't be a Catalyst expression). */
   def decodeBatched(pages: DataFrame): Dataset[MediaMeta] = {
