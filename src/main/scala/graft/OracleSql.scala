@@ -188,11 +188,13 @@ object OracleSql {
       |  FROM wrd GROUP BY doc_id, CAST(floor(p / 12.0) AS INT)
       |)""".stripMargin
 
-  /** First-occurrence winner per paragraph hash (ordered by doc, position). */
+  /** First-occurrence winner per paragraph hash (ordered by doc, position);
+    * the 60-bit BIGINT key mirrors the engine's narrow shuffle key. */
   val kpt: String =
     """kpt AS (
       |  SELECT doc_id, para_id, para,
-      |    CASE WHEN row_number() OVER (PARTITION BY md5(para)
+      |    CASE WHEN row_number() OVER (
+      |           PARTITION BY CAST('0x' || substring(md5(para), 1, 15) AS BIGINT)
       |           ORDER BY doc_id, para_id) = 1 THEN 1 ELSE 0 END AS kept
       |  FROM par
       |)""".stripMargin
