@@ -575,6 +575,16 @@ object SparkEntry {
     "q78_pii_scrub" -> ((s, dir) =>
       WebCuration.piiScrub(Synth.corpus(s, dir))),
 
+    // JSON property extraction over the REAL events table (src.json scalar
+    // family on driver data, not synthetic): get_json_object + typed agg
+    "q85_json_props" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"), sum(col("k")).as("k_sum"))),
+
     // multimodal frame sampling: evenly-strided byte windows per binary
     // payload (video frame-sample plumbing as a relational generator)
     "q84_frame_sample" -> ((s, dir) =>
@@ -1754,6 +1764,13 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM drt""".stripMargin),
+
+    "q85_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q84_frame_sample" -> withCtes(
       """pgs AS (
