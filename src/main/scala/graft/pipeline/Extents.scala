@@ -98,4 +98,23 @@ object Extents {
       }
       .toDF("hydroid", "comp", "n_cells")
   }
+
+  /** GeoJSON sink for dissolved extents — the downstream-GIS-facing output
+    * (`tools/mosaic_inundation.py` writes polygons; this writes one GeoJSON
+    * Feature per extent, bbox geometry, as JSON-lines text). Built from
+    * `to_json(struct(...))` — codegen'd, no driver-side serialization; the
+    * text sink writes one part file per partition like any other sink. */
+  def writeGeoJson(extents: DataFrame, path: String): Unit = {
+    def pt(lng: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) = array(lng, lat)
+    val ring = array(
+      pt(col("lng_min"), col("lat_min")), pt(col("lng_max"), col("lat_min")),
+      pt(col("lng_max"), col("lat_max")), pt(col("lng_min"), col("lat_max")),
+      pt(col("lng_min"), col("lat_min")))
+    extents.select(to_json(struct(
+        lit("Feature").as("type"),
+        struct(lit("Polygon").as("type"), array(ring).as("coordinates")).as("geometry"),
+        struct(col("hydroid"), col("n_cells"), col("n_boundary"), col("area_deg2"))
+          .as("properties"))).as("value"))
+      .write.mode("overwrite").text(path)
+  }
 }

@@ -102,6 +102,28 @@ class SnapshotsSpec extends SparkTestBase {
     val second = CuratePipeline.run(spark, sf0001, table)
     assert(second.map(_.part) == Seq(victim), s"resume recommitted ${second.map(_.part)}")
     assert(Snapshots.readTable(spark, table).count() == expected)
+    // observed run metrics rode the write jobs (no extra scan): one row per
+    // run, corpus-level counts stable across the resume
+    val m = CuratePipeline.metrics(spark, table)
+      .select("curated_docs").collect().map(_.getLong(0))
+    assert(m.length == 2 && m.toSet == Set(expected))
+  }
+
+  test("GeoJSON sink: one parseable Feature per dissolved extent") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_geojson").toString
+    val extents = Extents.dissolve(Inundate.run(spark, sf0001))
+    Extents.writeGeoJson(extents, s"$dir/extents")
+    val back = spark.read.json(s"$dir/extents")
+    assert(back.count() == extents.count())
+    assert(back.filter(col("type") =!= "Feature").count() == 0)
+    assert(back.filter(col("geometry.type") =!= "Polygon").count() == 0)
+    // ring is closed (first point == last) and properties survive
+    val r = back.select(col("geometry.coordinates")(0).as("ring"),
+      col("properties.hydroid"), col("properties.n_cells")).head()
+    val ring = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+    assert(ring.length == 5 && ring.head == ring.last)
+    assert(r.getLong(2) > 0)
   }
 
   test("schema evolution: old partitions surface a later-added column as NULL, no rewrite") {
