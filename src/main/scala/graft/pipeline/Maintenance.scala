@@ -50,6 +50,38 @@ object Maintenance {
         floor(col("cum_before").cast("double") / lit(targetRows.toDouble)).cast("long"))
   }
 
+  /** Compaction EXECUTION (the rewriteDataFiles job the planner feeds):
+    * every committed partition holding more than one parquet file is read
+    * back and rewritten as a single file, swapped in atomically (write to a
+    * temp dir, delete old data files, move new ones in). Content is
+    * byte-identical row-wise, so the manifest's order-insensitive lineage
+    * fingerprint STAYS VALID — compaction needs no recommit. Returns the
+    * partitions rewritten. */
+  def compactTable(spark: SparkSession, table: String, partCol: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Snapshots.committedPartitions(table).toSeq.sorted.flatMap { p =>
+      val dir = Paths.get(table, s"$partCol=$p")
+      if (!Files.isDirectory(dir)) None
+      else {
+        val files = Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+        if (files.size <= 1) None
+        else {
+          val tmp = Files.createTempDirectory("graft_compact")
+          spark.read.parquet(dir.toString)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          files.foreach(Files.delete)
+          Files.list(tmp).iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              Files.move(f, dir.resolve(s"compacted-$i.parquet"))
+            }
+          Some(p)
+        }
+      }
+    }
+  }
+
   /** q77's concrete instance: per-HUC8 partition sizes of the points table,
     * packed into ~4096-row rewrite tasks. */
   def hucCompactionPlan(spark: SparkSession, sfDir: String): DataFrame = {

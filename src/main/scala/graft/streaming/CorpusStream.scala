@@ -24,6 +24,22 @@ object CorpusStream {
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("event_ts", TimestampType)))
 
+  /** Batch catch-up over a snapshot table (`Trigger.AvailableNow`): stream
+    * all data committed so far through a streaming aggregation, then stop on
+    * its own — the stream/batch-unification read of the snapshot layer
+    * (process the backlog with streaming semantics + checkpointable state,
+    * without a long-lived query). Returns the started query; callers
+    * `awaitTermination()`. */
+  def catchUpCounts(spark: SparkSession, table: String, schema: StructType,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    // the `_graft_manifest` subdir starts with '_' so Spark's file index
+    // skips it; partition discovery maps the lang=... dirs onto the schema
+    spark.readStream.schema(schema).parquet(table)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .writeStream.outputMode("complete").format("memory").queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Exact-dedup + quality-gate a document stream. Emits
     * (doc_id, event_ts, n_tokens, mean_word_len, stop_ratio) for documents
     * that are first-seen (within the watermark horizon) AND pass the gate. */

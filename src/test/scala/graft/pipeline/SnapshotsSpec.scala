@@ -126,6 +126,49 @@ class SnapshotsSpec extends SparkTestBase {
     assert(r.getLong(2) > 0)
   }
 
+  test("compaction execution: many small files -> one per partition, lineage fingerprints still valid") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_compactx").toString
+    val table = s"$dir/tiles"
+    val df = graft.ops.SpatialJoin.assign(spark, Synth.points(spark, sf0001))
+      .select(col("pid"), col("hydroid").cast("long").as("hydroid"), col("huc8"))
+      .repartition(4) // force several part-files per partition
+    val lin = Snapshots.writeResumable(spark, df, table, "huc8")
+    def fileCount(p: String) = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(table, s"huc8=$p")).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    val victim = lin.map(_.part).max
+    assert(fileCount(victim) > 1, "setup: expected multiple files per partition")
+    val rewritten = graft.pipeline.Maintenance.compactTable(spark, table, "huc8")
+    assert(rewritten.contains(victim))
+    rewritten.foreach(p => assert(fileCount(p) == 1, s"partition $p not compacted"))
+    // content identity: recomputed fingerprints equal the pre-compaction manifest
+    val snap = Snapshots.readTable(spark, table)
+    val fp = snap.groupBy(col("huc8").as("part"))
+      .agg(count(lit(1)).as("rows"),
+        bit_xor(xxhash64(struct(snap.columns.sorted.map(col): _*))).as("xor"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    lin.foreach { l => assert(fp(l.part) == ((l.rows, l.xor)), s"fingerprint drift at ${l.part}") }
+  }
+
+  test("AvailableNow catch-up: streaming agg over the snapshot backlog terminates by itself") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_catchup").toString
+    val table = s"$dir/curated"
+    CuratePipeline.run(spark, sf0001, table)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_tokens", IntegerType),
+      StructField("mean_word_len", DoubleType), StructField("stop_ratio", DoubleType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val q = graft.streaming.CorpusStream.catchUpCounts(spark, table, schema, "catchup")
+    q.awaitTermination(60000) // AvailableNow stops on its own
+    assert(!q.isActive)
+    val streamed = spark.sql("SELECT sum(n_docs) FROM catchup").collect()(0).getLong(0)
+    assert(streamed == Snapshots.readTable(spark, table).count())
+  }
+
   test("schema evolution: old partitions surface a later-added column as NULL, no rewrite") {
     val dir = Files.createTempDirectory("graft_evo").toString
     val table = s"$dir/tiles"
