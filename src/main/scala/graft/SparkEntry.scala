@@ -1593,6 +1593,13 @@ object SparkEntry {
            |  (${d("tp")} / (${d("tp")} + ${d("fn")}) + ${d("tn")} / (${d("tn")} + ${d("fp")})) / CAST(2.0 AS DOUBLE) AS bal_acc,
            |  (${d("tp")} + ${d("fn")}) / $tot AS prevalence,
            |  (${d("tp")} - $aref) / (${d("tp")} + ${d("fp")} + ${d("fn")} - $aref) AS equitable_threat_score,
+           |  ${d("fp")} / (${d("fp")} + ${d("tn")}) AS fpr,
+           |  ${d("fn")} / (${d("fn")} + ${d("tn")}) AS false_omission_rate,
+           |  sqrt((${d("tp")} / (${d("tp")} + ${d("fp")})) * (${d("tp")} / (${d("tp")} + ${d("fn")}))) AS fowlkes_mallows_index,
+           |  (${d("tp")} / (${d("tp")} + ${d("fn")})) / (${d("fp")} / (${d("fp")} + ${d("tn")})) AS positive_likelihood_ratio,
+           |  (${d("fn")} / (${d("fn")} + ${d("tp")})) / (${d("tn")} / (${d("tn")} + ${d("fp")})) AS negative_likelihood_ratio,
+           |  (sqrt((${d("tp")} / (${d("tp")} + ${d("fn")})) * (${d("fp")} / (${d("fp")} + ${d("tn")}))) - ${d("fp")} / (${d("fp")} + ${d("tn")}))
+           |    / (${d("tp")} / (${d("tp")} + ${d("fn")}) - ${d("fp")} / (${d("fp")} + ${d("tn")})) AS prevalence_threshold,
            |  ${d("tp")} / $tot * 100 AS tp_perc,
            |  ${d("fp")} / $tot * 100 AS fp_perc,
            |  ${d("tn")} / $tot * 100 AS tn_perc,

@@ -123,6 +123,15 @@ object Agreement {
       ((tp / (tp + fn) + tn / (tn + fp)) / lit(2.0)).as("bal_acc"),
       ((tp + fn) / totD).as("prevalence"),
       ((tp - aref) / (tp + fp + fn - aref)).as("equitable_threat_score"),
+      // the remaining gval CatStats keys (reference stat dict,
+      // tools_shared_functions.py:277-380) — canonical definitions
+      (fp / (fp + tn)).as("fpr"),
+      (fn / (fn + tn)).as("false_omission_rate"),
+      sqrt((tp / (tp + fp)) * (tp / (tp + fn))).as("fowlkes_mallows_index"),
+      ((tp / (tp + fn)) / (fp / (fp + tn))).as("positive_likelihood_ratio"),
+      ((fn / (fn + tp)) / (tn / (tn + fp))).as("negative_likelihood_ratio"),
+      ((sqrt((tp / (tp + fn)) * (fp / (fp + tn))) - fp / (fp + tn))
+        / (tp / (tp + fn) - fp / (fp + tn))).as("prevalence_threshold"),
       (tp / totD * 100).as("tp_perc"),
       (fp / totD * 100).as("fp_perc"),
       (tn / totD * 100).as("tn_perc"),
