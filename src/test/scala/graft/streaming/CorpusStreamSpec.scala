@@ -36,4 +36,25 @@ class CorpusStreamSpec extends SparkTestBase {
       assert(ids.contains(4L) && ids.contains(5L))
     } finally q.stop()
   }
+
+  test("dedup state survives a checkpointed restart (kill query, new batch, resume)") {
+    val base = Files.createTempDirectory("graft_ckpt")
+    val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
+    def start() = CorpusStream.dedupIngest(spark, in)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chk).format("parquet").option("path", out)
+      .start()
+    writeBatch(in, Seq((1L, goodText, 1000L)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the query is GONE; a duplicate of doc 1 arrives plus a new doc
+    writeBatch(in, Seq((3L, goodText, 1100L), (4L, goodText + " extra", 1120L)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && ids.contains(4L))
+    // the restarted query recovered the dedup state store from the
+    // checkpoint — the pre-restart content hash still blocks doc 3
+    assert(!ids.contains(3L), s"state lost across restart: $ids")
+  }
 }
