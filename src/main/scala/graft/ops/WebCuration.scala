@@ -45,14 +45,21 @@ object WebCuration {
     * text reassembled from surviving paragraphs (NULL when every paragraph of
     * the doc was seen earlier, e.g. exact-clone docs). */
   def paragraphDedup(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("para_id"))
-    val marked = paragraphs(docs)
-      // 60-bit BIGINT key instead of the 32-char md5 string: 4× narrower
-      // shuffle rows and integer comparisons in the window sort; a 60-bit
-      // collision would only merge two paragraphs' dedup groups (odds
-      // ~n²/2⁶¹) and the oracle mirrors the same key, so parity is unaffected
+    // 60-bit BIGINT key instead of the 32-char md5 string: 4× narrower
+    // shuffle rows and integer comparisons; a 60-bit collision would only
+    // merge two paragraphs' dedup groups (odds ~n²/2⁶¹) and the oracle
+    // mirrors the same key, so parity is unaffected
+    val paras = paragraphs(docs)
       .withColumn("h", conv(substring(md5(col("para")), 1, 15), 16, 10).cast("long"))
-      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+    // winner per hash via min(struct) — NOT a row_number window: the partial
+    // aggregate collapses a boilerplate paragraph's million copies map-side,
+    // and the join back is AQE-skew-splittable where a window partition is
+    // not. Same winner as the oracle's row_number (lexicographic min).
+    val winners = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("para_id"))).as("w"))
+    val marked = paras.join(winners, "h")
+      .withColumn("kept",
+        (col("doc_id") === col("w.doc_id") && col("para_id") === col("w.para_id")).cast("int"))
     marked
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"), sum(col("kept")).as("n_kept"),

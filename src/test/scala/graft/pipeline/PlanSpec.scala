@@ -95,9 +95,14 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
-  test("paragraph dedup: exactly 3 exchanges (para agg, hash window, doc agg), partial aggs map-side") {
+  test("paragraph dedup: bounded exchanges, NO window (skew-splittable winner join), partial aggs map-side") {
     val plan = physical(graft.ops.WebCuration.paragraphDedup(Synth.corpus(spark, sf0001)))
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 3, plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 4, plan.take(3000))
+    // the winner must be a partial-aggregating min(struct) + join — a window
+    // would serialize a boilerplate paragraph's copies into one unsplittable
+    // task (AQE can split skewed joins, never window partitions)
+    assert(!plan.contains("Window"), "dedup winner regressed to a window:\n" + plan.take(3000))
+    assert(plan.contains("partial_min"), "winner lost map-side combine")
     assert(plan.contains("partial_collect_list"), "paragraph assembly lost map-side combine")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
