@@ -575,6 +575,11 @@ object SparkEntry {
     "q78_pii_scrub" -> ((s, dir) =>
       WebCuration.piiScrub(Synth.corpus(s, dir))),
 
+    // gage snap-to-line: planar segment projection with clamp (shapely
+    // project+interpolate analog, pure codegen'd scalar math)
+    "q86_gage_snap" -> ((s, _) =>
+      StreamNet.gageSnap(StreamNet.reaches(s))),
+
     // JSON property extraction over the REAL events table (src.json scalar
     // family on driver data, not synthetic): get_json_object + typed agg
     "q85_json_props" -> ((s, dir) =>
@@ -1771,6 +1776,47 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM drt""".stripMargin),
+
+    "q86_gage_snap" -> withCtes(net,
+      """rch AS (
+        |  SELECT hydroid,
+        |    (CAST(floor(hydroid / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |      - CAST(90.0 AS DOUBLE) AS from_lat,
+        |    ((hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE)
+        |      - CAST(180.0 AS DOUBLE) AS from_lng,
+        |    CASE WHEN to_node < 0
+        |      THEN (CAST(floor(hydroid / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |           - CAST(90.0 AS DOUBLE) - CAST(1.25 AS DOUBLE)
+        |      ELSE (CAST(floor(to_node / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |           - CAST(90.0 AS DOUBLE) END AS to_lat,
+        |    CASE WHEN to_node < 0
+        |      THEN ((hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE) - CAST(180.0 AS DOUBLE)
+        |      ELSE ((to_node % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE) - CAST(180.0 AS DOUBLE)
+        |    END AS to_lng
+        |  FROM net WHERE hydroid % 199 = 0
+        |)""".stripMargin,
+      """gsn AS (
+        |  SELECT hydroid, from_lat, from_lng, to_lat, to_lng,
+        |    from_lat + ((hydroid * 13) % 100) / 1000.0 - CAST(0.05 AS DOUBLE) AS glat,
+        |    from_lng + ((hydroid * 29) % 100) / 1000.0 - CAST(0.05 AS DOUBLE) AS glng
+        |  FROM rch
+        |)""".stripMargin,
+      """prj AS (
+        |  SELECT *, least(greatest(
+        |    ((glng - from_lng) * (to_lng - from_lng) + (glat - from_lat) * (to_lat - from_lat))
+        |      / ((to_lng - from_lng) * (to_lng - from_lng) + (to_lat - from_lat) * (to_lat - from_lat)),
+        |    CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS t
+        |  FROM gsn
+        |)""".stripMargin,
+      """snp AS (
+        |  SELECT hydroid, glat, glng, t,
+        |    from_lat + t * (to_lat - from_lat) AS snap_lat,
+        |    from_lng + t * (to_lng - from_lng) AS snap_lng
+        |  FROM prj
+        |)""".stripMargin)(
+      """SELECT hydroid, glat, glng, t, snap_lat, snap_lng,
+        |  (glng - snap_lng) * (glng - snap_lng) + (glat - snap_lat) * (glat - snap_lat) AS dist2
+        |FROM snp""".stripMargin),
 
     "q85_json_props" ->
       """SELECT event_type, count(*) AS n,

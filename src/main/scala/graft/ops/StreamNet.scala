@@ -175,6 +175,33 @@ object StreamNet {
         col("discharge_grafted"))
   }
 
+  /** Gage snap-to-line (q86) — `src/usgs_gage_crosswalk.py:165-170`: each
+    * gage point is PROJECTED onto its reach's line segment
+    * (shapely `project` + `interpolate`), yielding the normalized position
+    * t ∈ [0, 1], the snapped coordinate, and the squared snap distance.
+    * Pure planar dot-product projection with a clamp — IEEE +,−,·,/ and
+    * least/greatest only, so the oracle reproduces every value bit-for-bit.
+    * Gage points are a deterministic jitter off the reach's from-node.
+    * Per-row scalar math over one scan: fully codegen'd, no joins. */
+  def gageSnap(reachesDf: DataFrame): DataFrame = {
+    val g = reachesDf.filter(col("hydroid") % 199 === 0)
+      .withColumn("glat",
+        col("from_lat") + ((col("hydroid") * 13) % 100) / lit(1000.0) - lit(0.05))
+      .withColumn("glng",
+        col("from_lng") + ((col("hydroid") * 29) % 100) / lit(1000.0) - lit(0.05))
+    val vx = col("to_lng") - col("from_lng"); val vy = col("to_lat") - col("from_lat")
+    val wx = col("glng") - col("from_lng");   val wy = col("glat") - col("from_lat")
+    g.withColumn("t",
+        least(greatest((wx * vx + wy * vy) / (vx * vx + vy * vy), lit(0.0)), lit(1.0)))
+      .withColumn("snap_lat", col("from_lat") + col("t") * vy)
+      .withColumn("snap_lng", col("from_lng") + col("t") * vx)
+      .withColumn("dist2",
+        (col("glng") - col("snap_lng")) * (col("glng") - col("snap_lng"))
+          + (col("glat") - col("snap_lat")) * (col("glat") - col("snap_lat")))
+      .select(col("hydroid"), col("glat"), col("glng"), col("t"),
+        col("snap_lat"), col("snap_lng"), col("dist2"))
+  }
+
   /** G8: waterbody walk — from each lake reach (hydroid % 97 == 0), follow
     * `to_node` downstream until the first non-lake reach (or the outlet);
     * per-HUC in-memory walk, same kernel family as arbolate/level-path. */
