@@ -575,6 +575,10 @@ object SparkEntry {
     "q78_pii_scrub" -> ((s, dir) =>
       WebCuration.piiScrub(Synth.corpus(s, dir))),
 
+    // FR+MS composite inundation: mainstem high-flow model composited with
+    // the full-resolution model by per-cell max depth
+    "q87_composite" -> ((s, dir) => Inundate.compositeMosaic(s, dir)),
+
     // gage snap-to-line: planar segment projection with clamp (shapely
     // project+interpolate analog, pure codegen'd scalar math)
     "q86_gage_snap" -> ((s, _) =>
@@ -1776,6 +1780,44 @@ object SparkEntry {
         |  regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
         |FROM drt""".stripMargin),
+
+    "q87_composite" -> withCtes(pts, asg, ht, fc, stg, til,
+      "fcms AS (SELECT feature_id, discharge * CAST(1.5 AS DOUBLE) AS discharge FROM fc)",
+      """stgms AS (
+        |  SELECT hydroid,
+        |    CASE WHEN max(CASE WHEN discharge_cms <= discharge THEN stage END) IS NULL THEN min(stage)
+        |         WHEN min(CASE WHEN discharge_cms > discharge THEN stage END) IS NULL THEN max(stage)
+        |         ELSE max(CASE WHEN discharge_cms <= discharge THEN stage END)
+        |            + (max(discharge) - max(CASE WHEN discharge_cms <= discharge THEN discharge_cms END))
+        |            * (min(CASE WHEN discharge_cms > discharge THEN stage END)
+        |               - max(CASE WHEN discharge_cms <= discharge THEN stage END))
+        |            / (min(CASE WHEN discharge_cms > discharge THEN discharge_cms END)
+        |               - max(CASE WHEN discharge_cms <= discharge THEN discharge_cms END))
+        |    END AS stage_m
+        |  FROM (SELECT ht.hydroid, ht.stage, ht.discharge_cms, f.discharge
+        |        FROM ht JOIN fcms f ON ht.feature_id = f.feature_id
+        |        WHERE ht.hydroid % 97 <> 0)
+        |  GROUP BY hydroid
+        |)""".stripMargin,
+      """tilms AS (
+        |  SELECT a.cell,
+        |    CASE WHEN s.stage_m - a.hand > 0.0 THEN s.stage_m - a.hand ELSE 0.0 END AS depth
+        |  FROM asg a JOIN stgms s ON a.hydroid = s.hydroid
+        |  WHERE (a.hydroid % 8) + 1 >= 5
+        |)""".stripMargin,
+      """uc AS (
+        |  SELECT cell, depth, 0 AS ms FROM til
+        |  UNION ALL
+        |  SELECT cell, depth, 1 AS ms FROM tilms
+        |)""".stripMargin)(
+      """SELECT cell, depth_comp, depth_ms, depth_fr, n_ms,
+        |  CAST(CASE WHEN depth_ms IS NOT NULL AND depth_ms > depth_fr
+        |       THEN 1 ELSE 0 END AS INT) AS ms_wins
+        |FROM (SELECT cell, max(depth) AS depth_comp,
+        |        max(CASE WHEN ms = 1 THEN depth END) AS depth_ms,
+        |        max(CASE WHEN ms = 0 THEN depth END) AS depth_fr,
+        |        count(CASE WHEN ms = 1 THEN 1 END) AS n_ms
+        |      FROM uc GROUP BY cell)""".stripMargin),
 
     "q86_gage_snap" -> withCtes(net,
       """rch AS (

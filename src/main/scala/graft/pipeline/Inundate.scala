@@ -46,6 +46,35 @@ object Inundate {
   def run(spark: SparkSession, sfDir: String): DataFrame =
     mosaic(tiles(spark, Synth.points(spark, sfDir)))
 
+  /** FR+MS composite (q87) — `tools/composite_inundation.py:20-120`: the
+    * full-resolution model and the mainstem-only model (high-order reaches,
+    * run against a 1.5× high-flow forecast) are composited per cell by max
+    * depth, recording which model won. One union + the same single mosaic
+    * exchange — the composite costs one extra broadcast join, never a second
+    * pass over the points. */
+  def compositeMosaic(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = SpatialJoin.assign(spark, Synth.points(spark, sfDir))
+    def depthWith(stages: DataFrame) = assigned
+      .join(broadcast(stages), "hydroid")
+      .withColumn("depth", greatest(col("stage_m") - col("hand"), lit(0.0)))
+      .select(col("cell"), col("depth"))
+    val fr = depthWith(
+      RatingInterp.stages(Synth.hydrotable(spark), Synth.forecast(spark)))
+      .withColumn("ms", lit(0))
+    val msStages = RatingInterp.stages(Synth.hydrotable(spark),
+        Synth.forecast(spark).withColumn("discharge", col("discharge") * lit(1.5)))
+      .filter((col("hydroid") % 8) + 1 >= 5) // mainstems = high-order reaches
+    val ms = depthWith(msStages).withColumn("ms", lit(1))
+    fr.unionByName(ms)
+      .groupBy(col("cell"))
+      .agg(max(col("depth")).as("depth_comp"),
+        max(when(col("ms") === 1, col("depth"))).as("depth_ms"),
+        max(when(col("ms") === 0, col("depth"))).as("depth_fr"),
+        count(when(col("ms") === 1, 1)).as("n_ms"))
+      .withColumn("ms_wins",
+        (col("depth_ms").isNotNull && col("depth_ms") > col("depth_fr")).cast("int"))
+  }
+
   /** Per-unit status table — the engine's form of the reference's exit-code
     * taxonomy (`src/utils/fim_enums.py`; see [[graft.model.GraftStatus]]):
     * a HUC with no pages → UNIT_NO_BRANCHES(60); pages but only lake
