@@ -51,15 +51,17 @@ object WebCuration {
     // mirrors the same key, so parity is unaffected
     val paras = paragraphs(docs)
       .withColumn("h", conv(substring(md5(col("para")), 1, 15), 16, 10).cast("long"))
-    // winner per hash via min(struct) — NOT a row_number window: the partial
-    // aggregate collapses a boilerplate paragraph's million copies map-side,
-    // and the join back is AQE-skew-splittable where a window partition is
-    // not. Same winner as the oracle's row_number (lexicographic min).
-    val winners = paras.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("para_id"))).as("w"))
+    // winner per hash via a packed-BIGINT min — NOT a row_number window: the
+    // partial aggregate collapses a boilerplate paragraph's million copies
+    // map-side, and the join back is AQE-skew-splittable where a window
+    // partition is not. The (doc_id, para_id) pair is packed into one BIGINT
+    // (para_id < 2²⁰ always — ≤ MaxWords/ParaWords paragraphs per doc) so the
+    // min stays a HashAggregate; min(struct) would degrade to SortAggregate.
+    // Same winner as the oracle's row_number (lexicographic = numeric min).
+    val packed = col("doc_id") * lit(1L << 20) + col("para_id")
+    val winners = paras.groupBy(col("h")).agg(min(packed).as("wkey"))
     val marked = paras.join(winners, "h")
-      .withColumn("kept",
-        (col("doc_id") === col("w.doc_id") && col("para_id") === col("w.para_id")).cast("int"))
+      .withColumn("kept", (packed === col("wkey")).cast("int"))
     marked
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"), sum(col("kept")).as("n_kept"),

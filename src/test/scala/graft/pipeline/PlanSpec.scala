@@ -103,6 +103,9 @@ class PlanSpec extends SparkTestBase {
     // task (AQE can split skewed joins, never window partitions)
     assert(!plan.contains("Window"), "dedup winner regressed to a window:\n" + plan.take(3000))
     assert(plan.contains("partial_min"), "winner lost map-side combine")
+    // the packed-BIGINT winner key must keep the min in HashAggregate —
+    // min(struct) degrades to SortAggregate (sorts every partition)
+    assert(!plan.contains("SortAggregate"), "winner agg degraded to SortAggregate")
     assert(plan.contains("partial_collect_list"), "paragraph assembly lost map-side combine")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
