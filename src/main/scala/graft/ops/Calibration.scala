@@ -51,6 +51,9 @@ object Calibration {
 
   /** Bankfull identification (q52): per HydroID, the SRC row whose discharge
     * is closest to the NWM bankfull flow. argmin via min(struct(...)) — a
+    * partial-aggregating SortAggregate (struct minima are sort-based, not
+    * hash-based, but map-side combine still collapses the 84 knots per
+    * HydroID before the shuffle, which is what matters at scale) — a
     * hash aggregation with map-side combine, no sort; the (qdiff, stage)
     * prefix reproduces pandas idxmin's first-row-wins tie-break (the SRC is
     * stage-ordered). */

@@ -12,7 +12,9 @@ import graft.synth.Synth
   * Ring-expansion design: candidate targets are found by exploding each
   * point's CoarseRes k-ring (bounded: (2k+1)² cells) and broadcast-joining
   * against targets bucketed by cell; the winner is the lexicographic min of
-  * (dist², id) — a plain partial-aggregating `min(struct(...))`, shuffled
+  * (dist², id) — a partial-aggregating `min(struct(...))` (struct minima run
+  * as SortAggregate, not HashAggregate, but map-side combine still collapses
+  * each point's candidates to one row before the shuffle), shuffled
   * only on the point key with ~1 surviving row per candidate group.
   *
   * Distance is squared planar degrees (deterministic +,*; no trig) — the
