@@ -961,7 +961,7 @@ object SparkEntry {
         s"""rt$t AS (
            |  SELECT vec_id, bucket,
            |    row_number() OVER (PARTITION BY bucket
-           |      ORDER BY ((vec_id + ${t * 7919}) * 2654435761) % 1000000007) AS rn
+           |      ORDER BY ((vec_id + ${t * 7919}) * 2654435761) % 1000000007, vec_id) AS rn
            |  FROM bkt$t)""".stripMargin)
       val unions = (0 until tables).map(t =>
         s"""SELECT least(a.vec_id, b.vec_id) AS va, greatest(a.vec_id, b.vec_id) AS vb

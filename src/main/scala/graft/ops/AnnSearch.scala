@@ -222,8 +222,11 @@ object AnnSearch {
       cap: Int = 8): DataFrame = {
     val nBits = adaptiveBits(emb.count(), targetBucket)
     (0 until tables).map { t =>
+      // vec_id tie-break: two vectors colliding mod 1e9+7 in one bucket must
+      // rank deterministically (and identically to the SQL oracle)
       val w = Window.partitionBy(col("bucket"))
-        .orderBy(((col("vec_id") + lit(t * 7919)) * lit(2654435761L)) % lit(1000000007L))
+        .orderBy(((col("vec_id") + lit(t * 7919)) * lit(2654435761L)) % lit(1000000007L),
+          col("vec_id"))
       val r = srpBuckets(emb, nBits, t).withColumn("rn", row_number().over(w))
       val probe = r.withColumn("k", explode(sequence(lit(1), lit(cap))))
         .select(col("bucket"), col("vec_id").as("ia"), (col("rn") + col("k")).as("rn"))

@@ -53,10 +53,9 @@ object Calibration {
     * is closest to the NWM bankfull flow. argmin via min(struct(...)) — a
     * partial-aggregating SortAggregate (struct minima are sort-based, not
     * hash-based, but map-side combine still collapses the 84 knots per
-    * HydroID before the shuffle, which is what matters at scale) — a
-    * hash aggregation with map-side combine, no sort; the (qdiff, stage)
-    * prefix reproduces pandas idxmin's first-row-wins tie-break (the SRC is
-    * stage-ordered). */
+    * HydroID before the shuffle, which is what matters at scale). The
+    * (qdiff, stage) prefix reproduces pandas idxmin's first-row-wins
+    * tie-break (the SRC is stage-ordered). */
   def bankfull(src: DataFrame): DataFrame =
     src.filter(col("stage") > 0.0)
       .withColumn("qdiff", abs(col("bankfull_flow") - col("discharge_cms")))

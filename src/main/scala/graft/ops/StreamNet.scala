@@ -106,11 +106,11 @@ object StreamNet {
     * order → deterministic exact doubles. */
   private def arboKernel(rs: Array[Reach]): Map[Int, Double] = {
     val children = rs.groupBy(_.toNode)
+    val byId = rs.map(r => r.hydroid -> r).toMap // O(1) lookup keeps the kernel linear
     val memo = scala.collection.mutable.HashMap[Int, Double]()
     def arbo(h: Int): Double = memo.getOrElseUpdate(h, {
-      val self = rs.find(_.hydroid == h).get
       val kids = children.getOrElse(h, Array.empty).sortBy(_.hydroid)
-      self.lengthKm + kids.map(k => arbo(k.hydroid)).sum
+      byId(h).lengthKm + kids.map(k => arbo(k.hydroid)).sum
     })
     rs.map(r => r.hydroid -> arbo(r.hydroid)).toMap
   }

@@ -111,8 +111,12 @@ object TextOps {
 
   private def pairsOf(bands: DataFrame): DataFrame = {
     val keys = Seq("band", "k0", "k1", "k2", "k3")
-    val a = bands.withColumnRenamed("doc_id", "doc_a")
-    val c = bands.withColumnRenamed("doc_id", "doc_b")
+    // cache the band table explicitly: both sides of the bucket self-join
+    // read it, and an explicit cache beats relying on AQE ReusedExchange to
+    // dedupe the minhash computation (reuse is plan-shape-fragile)
+    val cached = bands.cache()
+    val a = cached.withColumnRenamed("doc_id", "doc_a")
+    val c = cached.withColumnRenamed("doc_id", "doc_b")
     a.join(c, keys)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

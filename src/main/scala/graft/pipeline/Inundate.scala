@@ -49,30 +49,38 @@ object Inundate {
   /** FR+MS composite (q87) — `tools/composite_inundation.py:20-120`: the
     * full-resolution model and the mainstem-only model (high-order reaches,
     * run against a 1.5× high-flow forecast) are composited per cell by max
-    * depth, recording which model won. One union + the same single mosaic
-    * exchange — the composite costs one extra broadcast join, never a second
-    * pass over the points. */
+    * depth, recording which model won.
+    *
+    * Single pass over the fact table: the ms stage ladder is a strict subset
+    * of the fr ladder's hydroids (same hydrotable ⋈ forecast, filtered to
+    * high-order reaches), so instead of a union of two scans the plan joins
+    * `assigned` once against broadcast(fr stages) (inner) and once against
+    * broadcast(ms stages) (left), derives both depths as columns, and keeps
+    * the one mosaic exchange. At 100 TB the points scan + geocode/PIP chain
+    * is the dominant cost — this runs it exactly once (PlanSpec gates one
+    * parquet scan in the whole plan). */
   def compositeMosaic(spark: SparkSession, sfDir: String): DataFrame = {
     val assigned = SpatialJoin.assign(spark, Synth.points(spark, sfDir))
-    def depthWith(stages: DataFrame) = assigned
-      .join(broadcast(stages), "hydroid")
-      .withColumn("depth", greatest(col("stage_m") - col("hand"), lit(0.0)))
-      .select(col("cell"), col("depth"))
-    val fr = depthWith(
-      RatingInterp.stages(Synth.hydrotable(spark), Synth.forecast(spark)))
-      .withColumn("ms", lit(0))
+    val frStages = RatingInterp.stages(Synth.hydrotable(spark), Synth.forecast(spark))
     val msStages = RatingInterp.stages(Synth.hydrotable(spark),
         Synth.forecast(spark).withColumn("discharge", col("discharge") * lit(1.5)))
       .filter((col("hydroid") % 8) + 1 >= 5) // mainstems = high-order reaches
-    val ms = depthWith(msStages).withColumn("ms", lit(1))
-    fr.unionByName(ms)
+      .withColumnRenamed("stage_m", "stage_ms")
+    assigned
+      .join(broadcast(frStages), "hydroid")
+      .join(broadcast(msStages), Seq("hydroid"), "left")
+      .withColumn("depth_fr", greatest(col("stage_m") - col("hand"), lit(0.0)))
+      .withColumn("depth_ms",
+        when(col("stage_ms").isNotNull, greatest(col("stage_ms") - col("hand"), lit(0.0))))
       .groupBy(col("cell"))
-      .agg(max(col("depth")).as("depth_comp"),
-        max(when(col("ms") === 1, col("depth"))).as("depth_ms"),
-        max(when(col("ms") === 0, col("depth"))).as("depth_fr"),
-        count(when(col("ms") === 1, 1)).as("n_ms"))
-      .withColumn("ms_wins",
-        (col("depth_ms").isNotNull && col("depth_ms") > col("depth_fr")).cast("int"))
+      .agg(max(col("depth_fr")).as("depth_fr"),
+        max(col("depth_ms")).as("depth_ms"),
+        count(col("depth_ms")).as("n_ms"))
+      .select(col("cell"),
+        greatest(col("depth_fr"), col("depth_ms")).as("depth_comp"),
+        col("depth_ms"), col("depth_fr"), col("n_ms"),
+        (col("depth_ms").isNotNull && col("depth_ms") > col("depth_fr"))
+          .cast("int").as("ms_wins"))
   }
 
   /** Per-unit status table — the engine's form of the reference's exit-code

@@ -52,30 +52,41 @@ object Maintenance {
 
   /** Compaction EXECUTION (the rewriteDataFiles job the planner feeds):
     * every committed partition holding more than one parquet file is read
-    * back and rewritten as a single file, swapped in atomically (write to a
-    * temp dir, delete old data files, move new ones in). Content is
-    * byte-identical row-wise, so the manifest's order-insensitive lineage
+    * back and rewritten as a single file. Swap order is add-then-delete:
+    * the compacted file is moved into the partition under a fresh generation
+    * name FIRST, and the old files are deleted only after it landed — a
+    * crash mid-swap leaves a transient duplicate (readers over-count), never
+    * a data loss; the temp dir may be a different filesystem, so the move
+    * can be a non-atomic copy and must therefore precede any delete. Content
+    * is byte-identical row-wise, so the manifest's order-insensitive lineage
     * fingerprint STAYS VALID — compaction needs no recommit. Returns the
     * partitions rewritten. */
   def compactTable(spark: SparkSession, table: String, partCol: String): Seq[String] = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
+    def listFiles(dir: Path, suffix: String): Seq[Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(_.toString.endsWith(suffix)).toSeq
+      finally s.close()
+    }
     Snapshots.committedPartitions(table).toSeq.sorted.flatMap { p =>
       val dir = Paths.get(table, s"$partCol=$p")
       if (!Files.isDirectory(dir)) None
       else {
-        val files = Files.list(dir).iterator().asScala
-          .filter(_.toString.endsWith(".parquet")).toSeq
+        val files = listFiles(dir, ".parquet")
         if (files.size <= 1) None
         else {
           val tmp = Files.createTempDirectory("graft_compact")
           spark.read.parquet(dir.toString)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          // generation tag keeps names unique vs survivors of earlier
+          // compactions (an old compacted-0.parquet must never be overwritten
+          // while it is still the live copy)
+          val gen = System.nanoTime()
+          listFiles(tmp, ".parquet").zipWithIndex.foreach { case (f, i) =>
+            Files.move(f, dir.resolve(s"compacted-$gen-$i.parquet"))
+          }
           files.foreach(Files.delete)
-          Files.list(tmp).iterator().asScala.filter(_.toString.endsWith(".parquet"))
-            .zipWithIndex.foreach { case (f, i) =>
-              Files.move(f, dir.resolve(s"compacted-$i.parquet"))
-            }
           Some(p)
         }
       }

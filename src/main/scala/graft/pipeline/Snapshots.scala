@@ -95,8 +95,15 @@ object Snapshots {
     if (Files.exists(manifestFile(table)))
       Files.readAllLines(manifestFile(table)).asScala.foreach { l =>
         """"part":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)).foreach { p =>
-          val lo = """"lo":(-?[\d.eE+]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
-          val hi = """"hi":(-?[\d.eE+]+)""".r.findFirstMatchIn(l).map(_.group(1).toDouble)
+          // full float literal: Double.toString emits scientific notation with
+          // negative exponents for |x| < 1e-3 (e.g. 1.0E-4) and may emit
+          // NaN/Infinity — a NaN stat cannot prune, so it maps to None
+          val num = """(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|NaN|-?Infinity)"""
+          def stat(k: String): Option[Double] =
+            (s""""$k":$num""").r.findFirstMatchIn(l)
+              .map(_.group(1).toDouble).filterNot(_.isNaN)
+          val lo = stat("lo")
+          val hi = stat("hi")
           val overlaps = (lo, hi) match {
             case (Some(a), Some(b)) => b >= qLo && a <= qHi
             case _ => true // no stats recorded — cannot prune

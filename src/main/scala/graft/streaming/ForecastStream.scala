@@ -101,7 +101,11 @@ object ForecastStream {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (fid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
          st: GroupState[CatState]) =>
-          val base = ((fid * 53 + 11) % 4000) / 10.0 + 5.0
+          // ladder keyed on hydroid = feature_id − 1000000 (Synth's id offset),
+          // matching CatFim.siteThresholds exactly — a batch q55 site and its
+          // streaming alerts classify against the same thresholds
+          val hydroid = fid - 1000000L
+          val base = ((hydroid * 53 + 11) % 4000) / 10.0 + 5.0
           def catOf(q: Double): Int = (0 until 5).count(m => q >= base * (1.0 + m * 0.75))
           var prev = st.getOption.map(_.cat).getOrElse(-1)
           val out = scala.collection.mutable.Buffer.empty[CatTransition]

@@ -110,6 +110,18 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("FR+MS composite: ONE scan of the fact table, one mosaic exchange, no union") {
+    val plan = physical(Inundate.compositeMosaic(spark, sf0001))
+    // the points scan + geocode/PIP chain is the 100 TB dominant cost — the
+    // composite must run it exactly once (fr inner + ms left broadcast joins
+    // in the same chain, both depths as columns)
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "composite scans the fact table more than once:\n" + plan.take(3000))
+    assert("Exchange hashpartitioning\\(cell".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("Union"), "composite regressed to a union of two passes")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("merge upsert: anti-join broadcasts the update batch (target never shuffles)") {
     val plan = physical(Maintenance.mergeUpsert(
       Synth.forecast(spark), Maintenance.forecastRevisions(spark), "feature_id"))

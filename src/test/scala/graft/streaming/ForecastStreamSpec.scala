@@ -95,9 +95,10 @@ class ForecastStreamSpec extends SparkTestBase {
 
   test("streaming CatFIM transitions: category changes emit, repeats stay silent") {
     val dir = Files.createTempDirectory("graft_cat").toString
-    // feature 1000041's threshold base = ((1000041*53+11) % 4000)/10 + 5
+    // feature 1000041 = hydroid 41 — a real q55 site (41 % 41 == 0); the
+    // streaming ladder must match CatFim.siteThresholds' hydroid keying
     val fid = 1000041L
-    val base = ((fid * 53 + 11) % 4000) / 10.0 + 5.0
+    val base = (((fid - 1000000L) * 53 + 11) % 4000) / 10.0 + 5.0
     writeBatch(dir, Seq((fid, base * 0.5, 1000L)))           // below action → cat 0
     val q = ForecastStream.categoryTransitions(spark, dir)
       .writeStream.outputMode("update").format("memory").queryName("cattr").start()
