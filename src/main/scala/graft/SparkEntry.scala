@@ -625,6 +625,28 @@ object SparkEntry {
     "q79_rating_graft_full" -> ((s, _) =>
       StreamNet.ratingGraftFull(s, StreamNet.reaches(s))),
 
+    // USGS rating-trace calibration: gage coefficients propagated along the
+    // level path up/downstream to 8 km, lake/branch breaks, nearest-gage-wins
+    "q88_rating_trace" -> ((s, _) => Calibration.usgsRatingTrace(s)),
+
+    // version-regression diff: new vs previous master metrics, melted per
+    // stat with an orientation-aware regression verdict (the release gate)
+    "q89_version_regression" -> ((s, dir) =>
+      Agreement.versionRegression(Inundate.run(s, dir))),
+
+    // levee–levelpath association: single-sided buffers, protected-side
+    // resolution, not-found double buffers, crossing-count post-filters
+    "q90_levee_assoc" -> ((s, _) => Levees.associate(s)),
+
+    // bridge healing + flows: per-bridge-buffer zonal max HAND pushed
+    // through the rating curve (both thresholds), ft/cfs conversions
+    "q91_bridge_flows" -> ((s, dir) =>
+      Bridges.bridgeFlows(s, Synth.points(s, dir))),
+
+    // manual calibration overrides: operator coefficient table merged over
+    // the hydrotable, discharge = postcalb / coef, provenance kept
+    "q92_manual_calb" -> ((s, _) => Calibration.manualCalibration(s)),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -994,6 +1016,272 @@ object SparkEntry {
 
     "q23_reaches" -> withCtes(net)(
       "SELECT hydroid, huc8, order_, length_km, to_node FROM net"),
+
+    "q88_rating_trace" -> withRecursiveCtes(net, closure, arboAgg, chosenCte, lpCte,
+      """tr AS (
+        |  SELECT n.hydroid, l.branch, (n.hydroid // 144) % 8 AS lr, n.length_km,
+        |    CASE WHEN n.hydroid % 97 = 0 THEN 1 ELSE 0 END AS lake
+        |  FROM net n JOIN lp l ON n.hydroid = l.hydroid
+        |)""".stripMargin,
+      """trw AS (
+        |  SELECT *,
+        |    sum(length_km) OVER (PARTITION BY branch ORDER BY lr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumdown,
+        |    min(CASE WHEN lake = 1 THEN lr END) OVER (PARTITION BY branch ORDER BY lr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minlakeup,
+        |    sum(length_km) OVER (PARTITION BY branch ORDER BY lr ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumup,
+        |    max(CASE WHEN lake = 1 THEN lr END) OVER (PARTITION BY branch ORDER BY lr ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxlakedown,
+        |    lead(length_km) OVER (PARTITION BY branch ORDER BY lr ASC) AS len_next
+        |  FROM tr
+        |)""".stripMargin,
+      """trw2 AS (
+        |  SELECT *, lead(maxlakedown) OVER (PARTITION BY branch ORDER BY lr ASC) AS maxlakenext
+        |  FROM trw
+        |)""".stripMargin,
+      """gg AS (
+        |  SELECT hydroid AS gage_id, branch, lr AS lr_g, cumdown AS cumdown_g,
+        |         cumup AS cumup_g, length_km AS len_g
+        |  FROM trw2 WHERE hydroid % 199 = 0
+        |)""".stripMargin,
+      """cand AS (
+        |  SELECT r.hydroid, g.gage_id, r.cumdown - g.cumdown_g + g.len_g AS dist_km, 1 AS dir_down
+        |  FROM trw2 r JOIN gg g ON r.branch = g.branch
+        |  WHERE r.lr <= g.lr_g AND r.cumdown - g.cumdown_g + g.len_g < CAST(8.0 AS DOUBLE)
+        |    AND (r.minlakeup IS NULL OR r.minlakeup > g.lr_g)
+        |  UNION ALL
+        |  SELECT r.hydroid, g.gage_id, r.cumup - g.cumup_g + r.len_next AS dist_km, 0 AS dir_down
+        |  FROM trw2 r JOIN gg g ON r.branch = g.branch
+        |  WHERE r.lr >= g.lr_g + 1 AND r.len_next IS NOT NULL
+        |    AND r.cumup - g.cumup_g + r.len_next < CAST(8.0 AS DOUBLE)
+        |    AND (r.maxlakenext IS NULL OR r.maxlakenext <= g.lr_g)
+        |)""".stripMargin)(
+      """SELECT hydroid, gage_id, dist_km, dir_down,
+        |  ((gage_id * 31 + 7) % 11 - 5) * CAST(0.05 AS DOUBLE) + CAST(1.0 AS DOUBLE) AS calb_coef_usgs
+        |FROM (SELECT *, row_number() OVER (PARTITION BY hydroid ORDER BY dist_km, gage_id) AS rn
+        |      FROM cand)
+        |WHERE rn = 1""".stripMargin),
+
+    "q89_version_regression" -> {
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      val row = "((cell // 268435456) % 268435456)"
+      val colc = "(cell % 268435456)"
+      def agrSql(k: Int, w: Int, t: String): String =
+        s"""CASE WHEN ($row * 29 + $colc * 13) % 50 = 0 THEN 4
+           |     ELSE (CASE WHEN depth_max > $t THEN 1 ELSE 0 END) * 2
+           |          + CASE WHEN ($row * 31 + $colc * 17 + $k) % 10 < $w THEN 1 ELSE 0 END
+           |END""".stripMargin
+      def tSql(t: Double): String = s"CAST($t AS DOUBLE)"
+      val versions = Seq(("new", 0.0), ("prev", 0.25))
+      val counts = versions.flatMap { case (v, dlt) =>
+        graft.ops.Agreement.MasterCombos.flatMap { case (src, mag, k, w, t) =>
+          (0 to 4).map(c =>
+            s"count(CASE WHEN ${agrSql(k, w, tSql(t + dlt))} = $c THEN 1 END) AS c${c}_${src}_${mag}_$v")
+        }
+      }.mkString(",\n    ")
+      // metric formula per stat from count column names (q56's family)
+      def m(stat: String, tn: String, fn: String, fp: String, tp: String): String = stat match {
+        case "csi" => s"${d(tp)} / (${d(tp)} + ${d(fp)} + ${d(fn)})"
+        case "tpr" => s"${d(tp)} / (${d(tp)} + ${d(fn)})"
+        case "far" => s"${d(fp)} / (${d(tp)} + ${d(fp)})"
+        case "mcc" => s"(${d(tp)} * ${d(tn)} - ${d(fp)} * ${d(fn)}) / sqrt((${d(tp)} + ${d(fp)}) * (${d(tp)} + ${d(fn)}) * (${d(tn)} + ${d(fp)}) * (${d(tn)} + ${d(fn)}))"
+        case "acc" => s"(${d(tp)} + ${d(tn)}) / (${d(tp)} + ${d(tn)} + ${d(fp)} + ${d(fn)})"
+        case "f1"  => s"${d(tp)} * 2 / (${d(tp)} * 2 + ${d(fp)} + ${d(fn)})"
+        case "bias" => s"(${d(tp)} + ${d(fp)}) / (${d(tp)} + ${d(fn)})"
+      }
+      val unions = graft.ops.Agreement.MasterCombos.flatMap { case (src, mag, _, _, _) =>
+        def c(i: Int, v: String) = s"c${i}_${src}_${mag}_$v"
+        graft.ops.Agreement.MetricOrientation.map { case (stat, orient) =>
+          val vN = m(stat, c(0, "new"), c(1, "new"), c(2, "new"), c(3, "new"))
+          val vP = m(stat, c(0, "prev"), c(1, "prev"), c(2, "prev"), c(3, "prev"))
+          val verdict = orient match {
+            case 1  => s"CASE WHEN ($vN) - ($vP) < 0 THEN 1 ELSE 0 END"
+            case -1 => s"CASE WHEN ($vN) - ($vP) > 0 THEN 1 ELSE 0 END"
+            case 0  => s"CASE WHEN abs(($vN) - CAST(1.0 AS DOUBLE)) > abs(($vP) - CAST(1.0 AS DOUBLE)) THEN 1 ELSE 0 END"
+          }
+          s"""SELECT '$src' AS benchmark_source, '$mag' AS magnitude, '$stat' AS stat,
+             |  $vN AS value, $vP AS value_prev, ($vN) - ($vP) AS diff,
+             |  $verdict AS regressed
+             |FROM c89""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      withCtes(pts, asg, ht, fc, stg, til, mos,
+        s"c89 AS (\n  SELECT $counts\n  FROM mos\n)")(unions)
+    },
+
+    "q92_manual_calb" -> withCtes(
+      """ht92 AS (
+        |  SELECT hydroid, 1000000 + hydroid AS feature_id, i, stage,
+        |    (hydroid % 7 + 1) * stage
+        |      + ((hydroid % 5) * CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE)) * stage * stage AS postcalb_discharge_cms
+        |  FROM (SELECT h.hydroid, s.i, s.i * CAST(0.3048 AS DOUBLE) AS stage
+        |        FROM (SELECT a.x * 144 + b.x AS hydroid
+        |              FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)) h,
+        |             generate_series(0, 83) s(i))
+        |  WHERE i % 7 = 0
+        |)""".stripMargin,
+      """man AS (
+        |  SELECT 1000000 + x AS feature_id,
+        |    ((1000000 + x) % 9 + 2) / CAST(4.0 AS DOUBLE) AS calb_coef_manual
+        |  FROM generate_series(0, 20735) t(x)
+        |  WHERE (1000000 + x) % 37 = 0
+        |)""".stripMargin)(
+      """SELECT h.hydroid, h.feature_id, CAST(h.i AS BIGINT) AS i, h.stage,
+        |  h.postcalb_discharge_cms, m.calb_coef_manual,
+        |  CASE WHEN m.calb_coef_manual IS NULL THEN h.postcalb_discharge_cms
+        |       ELSE h.postcalb_discharge_cms / m.calb_coef_manual END AS discharge_cms,
+        |  CASE WHEN m.calb_coef_manual IS NOT NULL THEN 1 ELSE 0 END AS calb_applied
+        |FROM ht92 h LEFT JOIN man m ON h.feature_id = m.feature_id""".stripMargin),
+
+    "q91_bridge_flows" -> {
+      def interpSql(t: String): String =
+        s"""CASE WHEN max(CASE WHEN h.stage <= t.$t THEN h.discharge_cms END) IS NULL THEN min(h.discharge_cms)
+           |     WHEN min(CASE WHEN h.stage > t.$t THEN h.discharge_cms END) IS NULL THEN max(h.discharge_cms)
+           |     ELSE max(CASE WHEN h.stage <= t.$t THEN h.discharge_cms END)
+           |        + (max(t.$t) - max(CASE WHEN h.stage <= t.$t THEN h.stage END))
+           |        * (min(CASE WHEN h.stage > t.$t THEN h.discharge_cms END)
+           |           - max(CASE WHEN h.stage <= t.$t THEN h.discharge_cms END))
+           |        / (min(CASE WHEN h.stage > t.$t THEN h.stage END)
+           |           - max(CASE WHEN h.stage <= t.$t THEN h.stage END))
+           |END""".stripMargin
+      withCtes(pts, ht,
+        """brg AS (
+          |  SELECT k AS bridge_id,
+          |    (floor(k / 144) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE) - 90.0
+          |      + ((k * 17) % 100) / 1000.0 - CAST(0.05 AS DOUBLE) AS blat,
+          |    ((k % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE) - 180.0
+          |      + ((k * 23) % 100) / 1000.0 - CAST(0.05 AS DOUBLE) AS blng
+          |  FROM (SELECT a.x * 144 + b.x AS k
+          |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x))
+          |  WHERE k % 151 = 0
+          |)""".stripMargin,
+        """thr AS (
+          |  SELECT b.bridge_id, max(p.hand) AS threshold_hand, count(*) AS n_pts
+          |  FROM pts p JOIN brg b
+          |    ON p.lat >= b.blat - CAST(1.5 AS DOUBLE) AND p.lat < b.blat + CAST(1.5 AS DOUBLE)
+          |   AND p.lng >= b.blng - CAST(1.5 AS DOUBLE) AND p.lng < b.blng + CAST(1.5 AS DOUBLE)
+          |  GROUP BY b.bridge_id
+          |)""".stripMargin,
+        """thr2 AS (
+          |  SELECT *, threshold_hand * CAST(0.75 AS DOUBLE) AS threshold_hand_75 FROM thr
+          |)""".stripMargin,
+        s"""bfl AS (
+           |  SELECT t.bridge_id,
+           |    max(t.threshold_hand) AS threshold_hand,
+           |    max(t.threshold_hand_75) AS threshold_hand_75,
+           |    max(t.n_pts) AS n_pts,
+           |    ${interpSql("threshold_hand")} AS threshold_discharge,
+           |    ${interpSql("threshold_hand_75")} AS threshold_discharge75
+           |  FROM ht h JOIN thr2 t ON h.hydroid = t.bridge_id
+           |  GROUP BY t.bridge_id
+           |)""".stripMargin)(
+        """SELECT bridge_id, threshold_hand, threshold_hand_75, n_pts,
+          |  threshold_discharge, threshold_discharge75,
+          |  threshold_hand * CAST(3.28084 AS DOUBLE) AS threshold_hand_ft,
+          |  threshold_hand_75 * CAST(3.28084 AS DOUBLE) AS threshold_hand_75_ft,
+          |  threshold_discharge * CAST(35.3147 AS DOUBLE) AS threshold_discharge_cfs,
+          |  threshold_discharge75 * CAST(35.3147 AS DOUBLE) AS threshold_discharge_75_cfs
+          |FROM bfl""".stripMargin)
+    },
+
+    "q90_levee_assoc" -> {
+      // segment∩rect: closed bbox overlap + supporting-line corner test
+      def segRect(rx0: String, rx1: String, ry0: String, ry1: String): String = {
+        def side(cx: String, cy: String) =
+          s"((s.xt - s.xf) * (($cy) - s.yf) - (s.yt - s.yf) * (($cx) - s.xf))"
+        val s1 = side(rx0, ry0); val s2 = side(rx1, ry0)
+        val s3 = side(rx1, ry1); val s4 = side(rx0, ry1)
+        s"""greatest(least(s.xf, s.xt), $rx0) <= least(greatest(s.xf, s.xt), $rx1)
+           |   AND greatest(least(s.yf, s.yt), $ry0) <= least(greatest(s.yf, s.yt), $ry1)
+           |   AND least($s1, $s2, $s3, $s4) <= 0 AND greatest($s1, $s2, $s3, $s4) >= 0""".stripMargin
+      }
+      withRecursiveCtes(net, closure, arboAgg, chosenCte, lpCte,
+        """lv0 AS (
+          |  SELECT l,
+          |    ((l * 13 + 7) % 142 + 1) * CAST(1.25 AS DOUBLE) - 90.0 AS y,
+          |    ((l * 29 + 3) % 138) * CAST(2.5 AS DOUBLE) - 180.0 + CAST(0.5 AS DOUBLE) AS x0,
+          |    ((l * 29 + 3) % 138 + 2 + l % 3) * CAST(2.5 AS DOUBLE) - 180.0 + CAST(0.5 AS DOUBLE) AS x1,
+          |    CAST(0.25 AS DOUBLE) + (l % 4) * CAST(0.125 AS DOUBLE) AS d
+          |  FROM generate_series(0, 119) t(l)
+          |)""".stripMargin,
+        """lv AS (
+          |  SELECT l, y, x0, x1, x0 + CAST(2.5 AS DOUBLE) AS a_x0,
+          |    CASE WHEN l % 7 = 0 THEN y + CAST(5.0 AS DOUBLE)
+          |         WHEN l % 5 = 0 THEN y - CAST(0.25 AS DOUBLE)
+          |         WHEN l % 2 = 0 THEN y + CAST(0.125 AS DOUBLE)
+          |         ELSE y - CAST(0.125 AS DOUBLE) - d END AS a_lat_min,
+          |    CASE WHEN l % 7 = 0 THEN y + CAST(5.5 AS DOUBLE)
+          |         WHEN l % 5 = 0 THEN y + d
+          |         WHEN l % 2 = 0 THEN y + CAST(0.125 AS DOUBLE) + d
+          |         ELSE y - CAST(0.125 AS DOUBLE) END AS a_lat_max
+          |  FROM lv0
+          |)""".stripMargin,
+        """hits AS (
+          |  SELECT DISTINCT b.l
+          |  FROM lv b JOIN lv a ON least(b.x1, a.x1) - greatest(b.x0, a.a_x0) > 0
+          |   AND (least(b.y + CAST(0.5 AS DOUBLE), a.a_lat_max) - greatest(b.y, a.a_lat_min) > 0
+          |     OR least(b.y, a.a_lat_max) - greatest(b.y - CAST(0.5 AS DOUBLE), a.a_lat_min) > 0)
+          |)""".stripMargin,
+        """sidesq AS (
+          |  SELECT l,
+          |    greatest(CAST(0.0 AS DOUBLE), least(x1, x1) - greatest(x0, a_x0))
+          |      * greatest(CAST(0.0 AS DOUBLE),
+          |        least(y + CAST(0.5 AS DOUBLE), a_lat_max) - greatest(y, a_lat_min)) AS left_area,
+          |    greatest(CAST(0.0 AS DOUBLE), least(x1, x1) - greatest(x0, a_x0))
+          |      * greatest(CAST(0.0 AS DOUBLE),
+          |        least(y, a_lat_max) - greatest(y - CAST(0.5 AS DOUBLE), a_lat_min)) AS right_area
+          |  FROM lv
+          |)""".stripMargin,
+        """sides AS (
+          |  SELECT l, CASE WHEN left_area < right_area THEN 'left' ELSE 'right' END AS levee_side
+          |  FROM sidesq WHERE left_area > 0 OR right_area > 0
+          |)""".stripMargin,
+        """seg AS (
+          |  SELECT l.branch AS levelpath_id, n.hydroid,
+          |    ((n.hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE) - 180.0 AS xf,
+          |    (floor(n.hydroid / 144) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE) - 90.0 AS yf,
+          |    CASE WHEN n.to_node = -1
+          |         THEN ((n.hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE) - 180.0
+          |         ELSE ((n.to_node % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE) - 180.0 END AS xt,
+          |    CASE WHEN n.to_node = -1
+          |         THEN (floor(n.hydroid / 144) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE) - 90.0 - CAST(1.25 AS DOUBLE)
+          |         ELSE (floor(n.to_node / 144) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE) - 90.0 END AS yt
+          |  FROM net n JOIN lp l ON n.hydroid = l.hydroid
+          |)""".stripMargin,
+        s"""arects AS (
+           |  SELECT v.l, v.x0, v.x1, v.y AS ry0, v.y + CAST(0.5 AS DOUBLE) AS ry1
+           |  FROM lv v JOIN sides sd ON v.l = sd.l AND sd.levee_side = 'left'
+           |  UNION ALL
+           |  SELECT v.l, v.x0, v.x1, v.y - CAST(0.5 AS DOUBLE) AS ry0, v.y AS ry1
+           |  FROM lv v JOIN sides sd ON v.l = sd.l AND sd.levee_side = 'right'
+           |  UNION ALL
+           |  SELECT v.l, v.x0, v.x1, v.y - CAST(1.0 AS DOUBLE) AS ry0, v.y + CAST(1.0 AS DOUBLE) AS ry1
+           |  FROM lv v WHERE v.l NOT IN (SELECT l FROM hits)
+           |)""".stripMargin,
+        s"""pairs AS (
+           |  SELECT DISTINCT r.l AS levee_id, s.levelpath_id
+           |  FROM arects r JOIN seg s
+           |    ON ${segRect("r.x0", "r.x1", "r.ry0", "r.ry1")}
+           |)""".stripMargin,
+        """crs AS (
+          |  SELECT v.l AS levee_id, s.levelpath_id, count(*) AS n_crossings
+          |  FROM seg s JOIN lv v ON (s.yf - v.y) * (s.yt - v.y) < 0
+          |    AND s.xf + (v.y - s.yf) * (s.xt - s.xf) / (s.yt - s.yf) >= v.x0
+          |    AND s.xf + (v.y - s.yf) * (s.xt - s.xf) / (s.yt - s.yf) <= v.x1
+          |  GROUP BY v.l, s.levelpath_id
+          |)""".stripMargin,
+        s"""tch AS (
+           |  SELECT DISTINCT v.l AS levee_id, s.levelpath_id
+           |  FROM lv v JOIN seg s
+           |    ON ${segRect("v.a_x0", "v.x1", "v.a_lat_min", "v.a_lat_max")}
+           |)""".stripMargin)(
+        """SELECT p.levee_id, p.levelpath_id,
+          |  coalesce(sd.levee_side, 'none') AS levee_side,
+          |  coalesce(c.n_crossings, 0) AS n_crossings
+          |FROM pairs p
+          |LEFT JOIN crs c ON c.levee_id = p.levee_id AND c.levelpath_id = p.levelpath_id
+          |LEFT JOIN tch t ON t.levee_id = p.levee_id AND t.levelpath_id = p.levelpath_id
+          |LEFT JOIN sides sd ON sd.l = p.levee_id
+          |WHERE coalesce(c.n_crossings, 0) <> 1
+          |  AND NOT (coalesce(c.n_crossings, 0) = 0 AND t.levee_id IS NOT NULL)""".stripMargin)
+    },
 
     "q24_endpoints" -> withCtes(net)(
       """SELECT n.hydroid, CASE WHEN n.to_node = -1 THEN 1 ELSE 0 END AS is_outlet,

@@ -191,4 +191,55 @@ object Agreement {
     }
     counted.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** The 7 headline metric names in [[metricCols]] order, with each stat's
+    * regression orientation: +1 bigger-is-better, −1 smaller-is-better,
+    * 0 closer-to-one-is-better (bias). */
+  val MetricOrientation: Seq[(String, Int)] = Seq(
+    "csi" -> 1, "tpr" -> 1, "far" -> -1, "mcc" -> 1, "acc" -> 1, "f1" -> 1, "bias" -> 0)
+
+  /** Version-regression diff of the master metrics (q89) —
+    * `tools/tools_shared_functions.py:119-133` (`check_for_regression`): the
+    * release gate a FIM user runs every version — every stat of the new
+    * build's master-metrics table minus the previous version's, melted one
+    * row per (benchmark, magnitude, stat), with a regression verdict per the
+    * stat's orientation. The "previous version" is the same evaluation with
+    * every predicted-wet threshold raised 0.25 m (a deterministic stand-in
+    * for last release's model).
+    *
+    * Scale shape: ONE pass over the mosaic — both versions' contingency
+    * counts are conditional aggregates of the same scan (2 versions × 4
+    * combos × 5 classes = 40 counters in one partial-aggregating
+    * HashAggregate); the melt + diff is driver-free expression algebra on
+    * the single counted row. */
+  def versionRegression(mosaic: DataFrame,
+      prevThresholdDelta: Double = 0.25): DataFrame = {
+    val versions = Seq(("new", 0.0), ("prev", prevThresholdDelta))
+    val countExprs = versions.flatMap { case (v, d) =>
+      MasterCombos.flatMap { case (src, mag, k, w, t) =>
+        val agr = comboAgreement(col("cell"), col("depth_max"), k, w, t + d)
+        (0 to 4).map(c => count(when(agr === c, 1)).as(s"c${c}_${src}_${mag}_$v"))
+      }
+    }
+    val counted = mosaic.agg(countExprs.head, countExprs.tail: _*)
+    val rows = MasterCombos.flatMap { case (src, mag, _, _, _) =>
+      def cs(v: String) = (0 to 4).map(i => col(s"c${i}_${src}_${mag}_$v"))
+      val Seq(tnN, fnN, fpN, tpN, _) = cs("new")
+      val Seq(tnP, fnP, fpP, tpP, _) = cs("prev")
+      val newM = metricCols(tnN, fnN, fpN, tpN)
+      val prevM = metricCols(tnP, fnP, fpP, tpP)
+      MetricOrientation.zipWithIndex.map { case ((stat, orient), i) =>
+        val v = newM(i); val p = prevM(i)
+        val regressed = orient match {
+          case 1  => (v - p < 0).cast("int")
+          case -1 => (v - p > 0).cast("int")
+          case 0  => (abs(v - lit(1.0)) > abs(p - lit(1.0))).cast("int")
+        }
+        struct(lit(src).as("benchmark_source"), lit(mag).as("magnitude"),
+          lit(stat).as("stat"), v.as("value"), p.as("value_prev"),
+          (v - p).as("diff"), regressed.as("regressed"))
+      }
+    }
+    counted.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

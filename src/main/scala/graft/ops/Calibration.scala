@@ -348,4 +348,109 @@ object Calibration {
         col("fim_stage"), col("usgs_stage"),
         (col("fim_stage") - col("usgs_stage")).as("elev_diff"))
   }
+
+  /** USGS rating-trace calibration (q88) —
+    * `src/src_adjust_usgs_rating_trace.py:195-299` (`trace_network` feeding
+    * `update_rating_curve`): from every gaged catchment, the gage's
+    * calibration coefficient propagates along the stream network upstream AND
+    * downstream, stopping at `USGS_CALB_TRACE_DIST` (8 km), at the first
+    * waterbody reach, and at branch changes (the reference breaks on
+    * `order_ != start_order`; the engine's branch concept is the level path,
+    * so the trace stays on the gage's level path — within one, positions are
+    * the consecutive local grid rows `lr = (hydroid div 144) % 8`,
+    * downstream = decreasing).
+    *
+    * Faithful walk quirks, reproduced exactly:
+    *  - downstream: the gage reach itself is traced first; a reach whose
+    *    CUMULATIVE length (gage..reach inclusive) reaches the distance cap is
+    *    excluded, as is everything at/past the first lake reach (a lake AT
+    *    the gage empties the downstream trace);
+    *  - upstream: a reach joins the trace only when its OWN upstream
+    *    continuation also exists and passes the length/lake checks — the
+    *    reference appends `current_id` only after finding `next_id`, so the
+    *    last reachable reach is dropped (bug-compatible off-by-one), the
+    *    accumulated length runs one reach ahead, and the gage's own lake
+    *    status is never checked upstream.
+    *
+    * Overlapping traces resolve nearest-gage-wins (min accumulated length,
+    * ties to the lower gage id).
+    *
+    * Scale shape: the walk is pure window algebra over the level-path key
+    * (prefix sums + prefix lake extrema + one lead) — partitions are
+    * path-bounded, never corpus-bounded; the reach×gage join is an equi-join
+    * on the path id with path-length-bounded fan-out. No iteration, no
+    * driver-side walking. */
+  def usgsRatingTrace(spark: SparkSession, traceDistKm: Double = 8.0): DataFrame = {
+    val net = StreamNet.reaches(spark)
+    val lp = StreamNet.levelPaths(spark, net)
+    val base = net.join(lp, Seq("huc8", "hydroid"))
+      .withColumn("lr", floor(col("hydroid") / 144).cast("long") % 8)
+      .withColumn("lake", (col("hydroid") % 97 === 0).cast("int"))
+      .select(col("hydroid"), col("levelpath_id"), col("lr"), col("length_km"), col("lake"))
+    val wDown = Window.partitionBy(col("levelpath_id")).orderBy(col("lr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wUp = Window.partitionBy(col("levelpath_id")).orderBy(col("lr").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("levelpath_id")).orderBy(col("lr").asc)
+    val walked = base
+      .withColumn("cumdown", sum(col("length_km")).over(wDown))
+      .withColumn("minlakeup", min(when(col("lake") === 1, col("lr"))).over(wDown))
+      .withColumn("cumup", sum(col("length_km")).over(wUp))
+      .withColumn("maxlakedown", max(when(col("lake") === 1, col("lr"))).over(wUp))
+      .withColumn("len_next", lead(col("length_km"), 1).over(wLead))
+    val traced = walked
+      .withColumn("maxlakenext", lead(col("maxlakedown"), 1).over(wLead))
+    val gages = traced.filter(col("hydroid") % 199 === 0)
+      .select(col("levelpath_id"), col("hydroid").as("gage_id"), col("lr").as("lr_g"),
+        col("cumdown").as("cumdown_g"), col("cumup").as("cumup_g"),
+        col("length_km").as("len_g"))
+    val joined = traced.join(gages, "levelpath_id")
+    val dist = lit(traceDistKm)
+    val down = joined
+      .filter(col("lr") <= col("lr_g") &&
+        col("cumdown") - col("cumdown_g") + col("len_g") < dist &&
+        (col("minlakeup").isNull || col("minlakeup") > col("lr_g")))
+      .select(col("hydroid"), col("gage_id"),
+        (col("cumdown") - col("cumdown_g") + col("len_g")).as("dist_km"),
+        lit(1).as("dir_down"))
+    val up = joined
+      .filter(col("lr") >= col("lr_g") + 1 && col("len_next").isNotNull &&
+        col("cumup") - col("cumup_g") + col("len_next") < dist &&
+        (col("maxlakenext").isNull || col("maxlakenext") <= col("lr_g")))
+      .select(col("hydroid"), col("gage_id"),
+        (col("cumup") - col("cumup_g") + col("len_next")).as("dist_km"),
+        lit(0).as("dir_down"))
+    down.unionByName(up)
+      .groupBy(col("hydroid"))
+      .agg(min(struct(col("dist_km"), col("gage_id"), col("dir_down"))).as("w"))
+      .select(col("hydroid"), col("w.gage_id").as("gage_id"),
+        col("w.dist_km").as("dist_km"), col("w.dir_down").as("dir_down"),
+        (((col("w.gage_id") * 31 + 7) % 11 - 5) * lit(0.05) + lit(1.0))
+          .as("calb_coef_usgs"))
+  }
+
+  /** Manual calibration overrides (q92) — `src/src_manual_calibration.py:
+    * 50-128`: an operator-supplied (feature_id, coefficient) table is merged
+    * over the hydrotable; where a coefficient exists the published discharge
+    * becomes `postcalb / coef` (coef < 1 raises discharge, > 1 lowers it),
+    * the pre-manual value is preserved under its own column, and provenance
+    * is recorded (`calb_applied`). The operator table is tiny — it
+    * broadcasts; the hydrotable never shuffles. Knots are thinned 12× for
+    * the verification dump (the merge itself is per-row). */
+  def manualCalibration(spark: SparkSession): DataFrame = {
+    val manual = spark.range(0, (Synth.CatRows * Synth.CatCols).toLong)
+      .select((col("id") + 1000000L).as("feature_id"))
+      .filter(col("feature_id") % 37 === 0)
+      .withColumn("calb_coef_manual", (col("feature_id") % 9 + 2) / lit(4.0))
+    Synth.hydrotable(spark)
+      .filter(col("i") % 7 === 0)
+      .withColumnRenamed("discharge_cms", "postcalb_discharge_cms")
+      .join(broadcast(manual), Seq("feature_id"), "left")
+      .select(col("hydroid"), col("feature_id"), col("i").cast("long").as("i"),
+        col("stage"), col("postcalb_discharge_cms"), col("calb_coef_manual"),
+        when(col("calb_coef_manual").isNull, col("postcalb_discharge_cms"))
+          .otherwise(col("postcalb_discharge_cms") / col("calb_coef_manual"))
+          .as("discharge_cms"),
+        col("calb_coef_manual").isNotNull.cast("int").as("calb_applied"))
+  }
 }
