@@ -16,6 +16,9 @@ run / fork := true
 // round driver's parse of Bench's single JSON metric line (BENCH_r01.json
 // had "parsed": null for exactly this reason).
 run / outputStrategy := Some(StdoutOutput)
+// keep sbt's "[success] Total time" epilogue off stdout so the bench JSON
+// line is the LAST stdout line (the round driver parses it from there)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -192,6 +192,56 @@ object AnnSearch {
       .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_members"))
   }
 
+  /** Float centroids from one [[kmeansStep]] M-step: component mean per
+    * (cluster, dim). The trained table plugs straight into [[ivfTopKWith]]
+    * — the compose-don't-iterate path a production IVF build runs a few
+    * rounds of before freezing the quantizer. */
+  def trainedCentroids(emb: DataFrame, centroidMod: Int = 50): DataFrame =
+    kmeansStep(emb, centroidMod)
+      .select(col("cid"), col("pos"),
+        (col("sum_q").cast("double") / col("n_members").cast("double")).as("cq"))
+
+  /** IVF top-k against an ARBITRARY centroid table (cid, pos, cq: double) —
+    * the generalized form of [[ivfTopK]] (whose deterministic quantizer is
+    * the oracle-checked instance). Same plan shape: broadcast centroids,
+    * one assignment aggregate, list-id shuffle, exact rerank of probed
+    * lists only. */
+  def ivfTopKWith(emb: DataFrame, centroids: DataFrame, k: Int = 5,
+      nProbe: Int = 3, queryMod: Int = 250): DataFrame = {
+    val q = quantized(emb).cache()
+    val n = norms(q)
+    val cents = centroids.cache()
+    val cn = cents.groupBy(col("cid")).agg(sum(col("cq") * col("cq")).as("cn2"))
+    val scores = q.join(broadcast(cents), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("q").cast("double") * col("cq")).as("dot"))
+      .join(broadcast(cn), "cid")
+      .withColumn("score", col("dot") / sqrt(col("cn2")))
+    val assign = scores.groupBy(col("vec_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid").asc)
+    val probes = scores.filter(col("vec_id") % queryMod === 0)
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qvec"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("qvec") =!= col("vec_id"))
+      .select(col("qvec"), col("vec_id").as("vec")).distinct()
+    val dots = cand
+      .join(q.select(col("vec_id").as("qvec"), col("pos"), col("q").as("qq")), "qvec")
+      .join(q.select(col("vec_id").as("vec"), col("pos"), col("q")), Seq("vec", "pos"))
+      .groupBy(col("qvec"), col("vec"))
+      .agg(sum(col("qq") * col("q")).as("dot"))
+    val scored = dots
+      .join(n.select(col("vec_id").as("qvec"), col("n2").as("qn")), "qvec")
+      .join(n.select(col("vec_id").as("vec"), col("n2").as("vn")), "vec")
+      .select(col("qvec"), col("vec"),
+        (col("dot").cast("double") / (sqrt(col("qn").cast("double")) * sqrt(col("vn").cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("qvec")).orderBy(col("cos").desc, col("vec").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qvec"), col("rank"), col("vec"), col("cos"))
+  }
+
   /** Adaptive SRP bit count: the smallest b with 2^b ≥ ceil(n/targetBucket),
     * clamped to [2, 16] — so expected bucket population stays ≈ targetBucket
     * as the corpus grows and intra-bucket pair work stays ~n·targetBucket

@@ -69,6 +69,21 @@ class AnnSpec extends SparkTestBase {
     assert(recall >= 3 * scannedFraction, s"recall=$recall (scanned $scannedFraction)")
   }
 
+  test("IVF with one trained Lloyd round: recall pair recorded, trained >= untrained") {
+    val embBig = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    val brute = AnnSearch.bruteTopK(embBig, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      brute.intersect(rows.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / brute.size
+    val untrained = recallOf(AnnSearch.ivfTopK(embBig, 5).collect())
+    val trained = recallOf(
+      AnnSearch.ivfTopKWith(embBig, AnnSearch.trainedCentroids(embBig), 5).collect())
+    info(s"IVF recall@5: untrained=$untrained trained(1 Lloyd round)=$trained")
+    // one M-step moves centroids toward their members' means — the lists a
+    // query probes then hold more of its true neighborhood
+    assert(trained >= untrained, s"trained=$trained < untrained=$untrained")
+  }
+
   test("SRP buckets: clones of the same vector share a bucket; buckets bounded") {
     val b = AnnSearch.srpBuckets(emb).collect()
     assert(b.length == emb.count())
