@@ -34,5 +34,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box has 128 GiB; 8g starved the scaled-corpus dedup bench (cached
+  // 40M-row shingle table + 32 concurrent shuffle tasks → Spark OOM exit 52)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // JDK 17 G1 GCLocker: parquet JNI critical sections + a large array
+  // allocation can spuriously OOM after only 2 retries (observed as
+  // "Retried waiting for GCLocker too often" → Spark exit 52)
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=32",
 )

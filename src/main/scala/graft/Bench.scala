@@ -93,15 +93,30 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     def timeOnce(f: () => Unit): Double = {
       val t0 = System.nanoTime()
-      try f() catch { case _: Throwable => () }
+      val ok = try { f(); true } catch {
+        case e: Throwable => System.err.println(s"[bench] FAILED: $e"); false
+      }
       val s = (System.nanoTime() - t0) / 1e9
       // drop cached tables so storage-memory pressure from one run can't
       // evict/spill and distort the next measurement
       spark.catalog.clearCache()
-      s
+      if (ok) s else -1.0
     }
-    def best(f: () => Unit): Double = (1 to reps).map(_ => timeOnce(f)).min
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // best of the SUCCESSFUL reps; a failed query records -1.0 (visible in
+    // the JSON) rather than a phantom near-zero wall time
+    def best(f: () => Unit): Double = {
+      val good = (1 to reps).map(_ => timeOnce(f)).filter(_ >= 0)
+      if (good.nonEmpty) good.min else -1.0
+    }
+    val only = sys.env.get("SPARK_GRAFT_ONLY") // e.g. "dedup" = skip the sweep
+    if (only.contains("explain")) {
+      val dmult0 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "16").toInt
+      val df = graft.ops.TextOps.curate(scaledCorpus(spark, sfDir, dmult0))
+      df.explain("cost")
+      spark.stop(); return
+    }
+    val results = (if (only.contains("dedup")) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       // toRdd.count() materializes EVERY output column — a plain count()
       // would let Catalyst prune the expensive expressions out of the plan
       name -> best(() => { fn(spark, sfDir).queryExecution.toRdd.count(); () })
@@ -111,9 +126,15 @@ object Bench {
 
     // dedup family at corpus scale: the docs/sec headline (the sf corpus is
     // only ~5k docs — fixed overhead, not throughput; the sharded ×mult
-    // corpus is the honest linear-workload measurement)
+    // corpus is the honest linear-workload measurement). Materialized to
+    // parquet ONCE: a production corpus is one table with real file stats,
+    // not a 16-branch union whose translate() synthesis would otherwise be
+    // re-derived in every operator subtree (and whose generator-based size
+    // estimates mislead the planner).
     val dmult = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "16").toInt
-    def corpusScaled = scaledCorpus(spark, sfDir, dmult)
+    val corpusPath = s"/tmp/graft_scaled_corpus_x$dmult"
+    scaledCorpus(spark, sfDir, dmult).write.mode("overwrite").parquet(corpusPath)
+    def corpusScaled = spark.read.parquet(corpusPath)
     val nDocs = corpusScaled.count()
     val dedupOps: Seq[(String, () => DataFrame)] = Seq(
       "exact" -> (() => graft.ops.TextOps.exactDupGroups(corpusScaled)),

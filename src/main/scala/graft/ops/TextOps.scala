@@ -136,9 +136,15 @@ object TextOps {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = pairsOf(bandsOf(minhashWideFrom(sh))).cache()
     // two-key equi-join (doc, hb) on each side — joining on doc alone and
-    // filtering equality afterwards would materialize |pairs|·|shingles|² rows
+    // filtering equality afterwards would materialize |pairs|·|shingles|² rows.
+    // shuffle_hash hints pin the BUILD side to the candidate chain: Catalyst
+    // under-estimates the exploded shingle table (generators don't scale
+    // sizeInBytes), and without the hint it broadcasts sh — ~1 GiB at a
+    // 16×-sharded corpus, unbounded at 100 TB
     val inter = pairs
+      .hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
+      .hint("shuffle_hash")
       .join(sh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     pairs
@@ -238,8 +244,12 @@ object TextOps {
     val pairs = base.join(batch, keys).select("doc_a", "doc_b").distinct().cache()
     val sza = baseSh.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("sza"))
     val szb = batchSh.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("szb"))
+    // shuffle_hash on the pair chain: never broadcast a shingle table
+    // (generator sizeInBytes under-estimates; see ngramJaccardFrom)
     val inter = pairs
+      .hint("shuffle_hash")
       .join(baseSh.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
+      .hint("shuffle_hash")
       .join(batchSh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     val jac = pairs.join(inter, Seq("doc_a", "doc_b"), "left")

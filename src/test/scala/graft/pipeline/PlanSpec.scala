@@ -147,6 +147,35 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("jaccard verify never broadcasts the shingle table (generator sizes mislead Catalyst)") {
+    // Catalyst under-estimates exploded generators: without the shuffle_hash
+    // hints the (doc, hb) verify joins broadcast the shingle side — ~1 GiB
+    // at a 16×-sharded corpus, unbounded at 100 TB (observed as Spark OOM
+    // exit 52 in the round-3 bench). The gate inspects the ESTIMATE-planned
+    // physical plan: AQE may still convert to broadcast at runtime when the
+    // measured size is genuinely small — that conversion uses real sizes
+    // and is exactly the behavior we want to keep
+    val plan = graft.ops.TextOps.ngramJaccard(Synth.corpus(spark, sf0001))
+      .queryExecution.sparkPlan.toString
+    assert(!"""BroadcastHashJoin \[doc_[ab]#\d+L?, hb""".r.findFirstIn(plan).isDefined,
+      "shingle-side broadcast returned:\n" + plan.take(3000))
+    assert(plan.contains("ShuffledHashJoin"), "verify joins lost the shuffle_hash build:\n" + plan.take(2000))
+  }
+
+  test("bridge flows: buffer cover + threshold dims broadcast; zonal max is a partial agg") {
+    val plan = physical(graft.ops.Bridges.bridgeFlows(spark, Synth.points(spark, sf0001)))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(plan.contains("partial_max"), "zonal max lost map-side combine")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("rating trace: path-keyed windows, no cartesian, gage dim broadcast") {
+    val plan = physical(graft.ops.Calibration.usgsRatingTrace(spark))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), "reach×gage join should broadcast the gage dim")
+  }
+
   test("compaction plan: single-partition window only AFTER the manifest-scale agg") {
     val plan = physical(Maintenance.hucCompactionPlan(spark, sf0001))
     // the one SinglePartition exchange sits above the per-huc8 aggregate
