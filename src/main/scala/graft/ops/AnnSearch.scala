@@ -201,6 +201,44 @@ object AnnSearch {
       .select(col("cid"), col("pos"),
         (col("sum_q").cast("double") / col("n_members").cast("double")).as("cq"))
 
+  /** One Lloyd round against an ARBITRARY float centroid table: E-step
+    * assignment (argmax dot/√|c|², broadcast centroids), M-step component
+    * means. Same two-bounded-shuffle shape as [[kmeansStep]]. */
+  def kmeansStepWith(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val q = quantized(emb).cache()
+    val cents = centroids
+    val cn = cents.groupBy(col("cid")).agg(sum(col("cq") * col("cq")).as("cn2"))
+    val assign = q.join(broadcast(cents), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("q").cast("double") * col("cq")).as("dot"))
+      .join(broadcast(cn), "cid")
+      .withColumn("score", col("dot") / sqrt(col("cn2")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    q.join(assign, "vec_id")
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("q")).cast("double") / count(lit(1)).cast("double")).as("cq"))
+  }
+
+  /** Multi-round Lloyd driver loop — the production IVF training job.
+    * Round state is the centroid table only (~C·d rows): each round it is
+    * collected, re-localized and re-broadcast — the canonical Spark
+    * iterate-with-small-state shape (lineage stays one round deep; the big
+    * embedding table is scanned once per round, never iterated over on the
+    * driver). Returns (cid, pos, cq) after `rounds` rounds. */
+  def kmeansIterate(emb: DataFrame, rounds: Int, centroidMod: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = trainedCentroids(emb, centroidMod)
+    for (_ <- 2 to rounds) {
+      val local = cents.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      cents = kmeansStepWith(emb, local.toDF("cid", "pos", "cq"))
+    }
+    cents
+  }
+
   /** IVF top-k against an ARBITRARY centroid table (cid, pos, cq: double) —
     * the generalized form of [[ivfTopK]] (whose deterministic quantizer is
     * the oracle-checked instance). Same plan shape: broadcast centroids,

@@ -78,10 +78,13 @@ class AnnSpec extends SparkTestBase {
     val untrained = recallOf(AnnSearch.ivfTopK(embBig, 5).collect())
     val trained = recallOf(
       AnnSearch.ivfTopKWith(embBig, AnnSearch.trainedCentroids(embBig), 5).collect())
-    info(s"IVF recall@5: untrained=$untrained trained(1 Lloyd round)=$trained")
-    // one M-step moves centroids toward their members' means — the lists a
+    val trained2 = recallOf(
+      AnnSearch.ivfTopKWith(embBig, AnnSearch.kmeansIterate(embBig, 2), 5).collect())
+    info(s"IVF recall@5: untrained=$untrained 1-round=$trained 2-round=$trained2")
+    // an M-step moves centroids toward their members' means — the lists a
     // query probes then hold more of its true neighborhood
     assert(trained >= untrained, s"trained=$trained < untrained=$untrained")
+    assert(trained2 >= untrained, s"trained2=$trained2 < untrained=$untrained")
   }
 
   test("SRP buckets: clones of the same vector share a bucket; buckets bounded") {
