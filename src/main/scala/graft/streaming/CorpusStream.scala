@@ -40,6 +40,56 @@ object CorpusStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming crawl ingest against PERSISTED dedup artifacts — the
+    * end-to-end production shape the batch pieces compose into: every
+    * micro-batch is shingled + banded ONCE (`TextOps.dedupArtifacts`),
+    * LSH-checked against the artifact store (batch bands ⋈ base bands only
+    * — no batch², no base², no corpus re-LSH;
+    * [[graft.ops.TextOps.incrementalDedupAgainst]]), and the accepted
+    * (non-duplicate) documents are appended to the corpus sink while their
+    * shingle/band tables are appended to the artifacts — the store grows
+    * monotonically and later batches dedup against everything accepted so
+    * far. Exact within-batch duplicates collapse on content hash first.
+    *
+    * Delivery: foreachBatch + append parquet is at-least-once on failure
+    * replay (the checkpoint re-runs an uncommitted batch); the artifact
+    * append is idempotent at the LSH level — a replayed doc simply dedups
+    * against its own first copy. Exactly-once belongs to the snapshot
+    * layer's manifest commit ([[graft.pipeline.Snapshots]]). */
+  def incrementalIngest(spark: SparkSession, srcDir: String, artifactDir: String,
+      outDir: String, jaccardMax: Double = 0.9)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val shDir = s"$artifactDir/sh"; val bandDir = s"$artifactDir/bands"
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch
+          .withColumn("h", md5(col("text")))
+          .dropDuplicates("h") // exact within-batch clones collapse first
+          .select(col("doc_id"), col("text"), col("event_ts"))
+        val (bsh0, bbands0) = TextOps.dedupArtifacts(docs.select(col("doc_id"), col("text")))
+        val bsh = bsh0.cache(); val bbands = bbands0.cache()
+        val s = docs.sparkSession
+        def readOrEmpty(dir: String, like: DataFrame): DataFrame =
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+            s.read.parquet(dir)
+          else like.filter(lit(false))
+        val dups = TextOps.incrementalDedupAgainst(
+            readOrEmpty(shDir, bsh), readOrEmpty(bandDir, bbands),
+            bsh, bbands, jaccardMax)
+          .filter(col("is_dup") === 1).select(col("doc_id"))
+        val accepted = docs.join(broadcast(dups), Seq("doc_id"), "left_anti").cache()
+        accepted.write.mode("append").parquet(outDir)
+        bsh.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(shDir)
+        bbands.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(bandDir)
+        bsh.unpersist(); bbands.unpersist(); accepted.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Exact-dedup + quality-gate a document stream. Emits
     * (doc_id, event_ts, n_tokens, mean_word_len, stop_ratio) for documents
     * that are first-seen (within the watermark horizon) AND pass the gate. */

@@ -21,6 +21,21 @@ class TextOpsSpec extends SparkTestBase {
     assert(groups.length == nOriginals)
   }
 
+  test("sharded bench corpus scales LINEARLY: ×4 shards → ~×4 LSH pairs, zero cross-shard pairs") {
+    // the throughput corpus must not manufacture duplicate cliques: each
+    // rotated shard replicates the base dup structure, shares no shingles
+    // with other shards, and pair counts grow ~linearly (borderline
+    // near-dups may hash in or out per shard — hence the band, not ==)
+    val p1 = TextOps.lshPairs(graft.Bench.scaledCorpus(spark, sf0001, 1)).count()
+    val pairs4 = TextOps.lshPairs(graft.Bench.scaledCorpus(spark, sf0001, 4)).cache()
+    val p4 = pairs4.count()
+    assert(p4 >= 3 * p1 && p4 <= 5 * p1, s"p1=$p1 p4=$p4 — not linear")
+    val crossShard = pairs4
+      .filter(floor(col("doc_a") / 100000000L) =!= floor(col("doc_b") / 100000000L))
+      .count()
+    assert(crossShard == 0, s"$crossShard cross-shard pairs — shards are not independent")
+  }
+
   test("LSH pairs ⊇ exact clone pairs; jaccard of exact clones = 1.0") {
     val pairs = TextOps.ngramJaccard(corpus).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

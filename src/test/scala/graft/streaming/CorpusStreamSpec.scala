@@ -37,6 +37,33 @@ class CorpusStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental ingest: micro-batches LSH-dedup against the growing artifact store") {
+    val base = Files.createTempDirectory("graft_incr")
+    val (in, art, out) = (s"$base/in", s"$base/art", s"$base/out")
+    // long texts so the 8-gram shingle sets are rich enough for LSH
+    def text(seed: Int) = (1 to 40).map(i => s"tok${seed}x${i * seed % 97}").mkString(" ")
+    writeBatch(in, Seq((1L, text(3), 1000L), (2L, text(5), 1010L)))
+    val q = CorpusStream.incrementalIngest(spark, in, art, out)
+    try {
+      q.processAllAvailable()
+      // batch 2: an exact clone of doc 1's content under a NEW id (near-dup
+      // of the STORE, not of anything in its own batch) plus a fresh doc
+      writeBatch(in, Seq((10L, text(3), 2000L), (11L, text(7), 2010L)))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 11L), s"expected clone 10 rejected, got $ids")
+      // artifacts hold bands for exactly the accepted docs — batch 3 dedups
+      // against doc 11 (accepted in batch 2), proving the store GREW
+      val bandIds = spark.read.parquet(s"$art/bands").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(bandIds == Set(1L, 2L, 11L), s"artifact store wrong: $bandIds")
+      writeBatch(in, Seq((20L, text(7), 3000L)))
+      q.processAllAvailable()
+      val ids3 = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids3 == Set(1L, 2L, 11L), s"clone of a batch-2 acceptee must be rejected: $ids3")
+    } finally q.stop()
+  }
+
   test("dedup state survives a checkpointed restart (kill query, new batch, resume)") {
     val base = Files.createTempDirectory("graft_ckpt")
     val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
