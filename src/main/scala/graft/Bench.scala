@@ -122,6 +122,54 @@ object Bench {
       df.explain("cost")
       spark.stop(); return
     }
+    // dedup family at corpus scale: the docs/sec headline (the sf corpus is
+    // only ~5k docs — fixed overhead, not throughput; the sharded ×mult
+    // corpus is the honest linear-workload measurement). Runs BEFORE the
+    // per-query sweep: 25 minutes of accumulated codegen classes, cleaner
+    // backlog and GC aging measurably degrade late heavy jobs (the ×16 leg
+    // lost 2-5× per-doc throughput when it ran last), so the throughput
+    // headlines get the fresh-JVM window and the relative-only query sweep
+    // runs in the aged one. Materialized to
+    // parquet ONCE per mult: a production corpus is one table with real
+    // file stats, not a 16-branch union whose translate() synthesis would
+    // otherwise be re-derived in every operator subtree (and whose
+    // generator-based size estimates mislead the planner). Measured at TWO
+    // corpus sizes — flat docs/sec between them is the linearity evidence
+    // the 100 TB claim rests on.
+    val dmult = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "16").toInt
+    val dmultSmall = math.max(1, dmult / 4)
+    def dedupLeg(m: Int): (Long, Seq[(String, Double)]) = {
+      val corpusPath = s"/tmp/graft_scaled_corpus_x$m"
+      scaledCorpus(spark, sfDir, m).write.mode("overwrite").parquet(corpusPath)
+      def corpusScaled = spark.read.parquet(corpusPath)
+      val nDocs = corpusScaled.count()
+      val ops: Seq[(String, () => DataFrame)] = Seq(
+        "exact" -> (() => graft.ops.TextOps.exactDupGroups(corpusScaled)),
+        "minhash" -> (() => graft.ops.TextOps.minhashWide(corpusScaled)),
+        "lsh_pairs" -> (() => graft.ops.TextOps.lshPairs(corpusScaled)),
+        "jaccard" -> (() => graft.ops.TextOps.ngramJaccard(corpusScaled)),
+        "simhash" -> (() => graft.ops.TextOps.simhash16(corpusScaled)),
+        "fingerprint" -> (() => graft.ops.TextOps.fingerprint(corpusScaled)),
+        "curation" -> (() => graft.ops.TextOps.curate(corpusScaled)),
+        "para_dedup" -> (() => graft.ops.WebCuration.paragraphDedup(corpusScaled)),
+        "incr_dedup" -> (() => graft.ops.TextOps.incrementalDedup(corpusScaled, 100000000L)))
+      (nDocs, ops.map { case (nm, f) =>
+        nm -> best(() => { f().queryExecution.toRdd.count(); () })
+      })
+    }
+    val (docsSmall, secsSmall) = dedupLeg(dmultSmall)
+    val (nDocs, dedupSecs) = dedupLeg(dmult)
+    def obj(xs: Seq[(String, Double)], f0: Double => String) =
+      xs.map { case (k, v) => "\"" + k + "\":" + f0(v) }.mkString("{", ",", "}")
+    val dsec = obj(dedupSecs, v => f"$v%.3f")
+    val ddps = obj(dedupSecs, v => f"${nDocs / v}%.0f")
+    val ddpsSmall = obj(secsSmall, v => f"${docsSmall / v}%.0f")
+    // dps ratio large/small corpus: ~1 = linear cost, >1 = fixed overhead
+    // amortizing away, <1 = superlinear cost creeping in
+    val dlin = obj(dedupSecs.zip(secsSmall).map { case ((k, vL), (_, vS)) =>
+      k -> ((nDocs / vL) / (docsSmall / vS)) }, v => f"$v%.2f")
+
+
     val results = (if (only.contains("dedup")) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       // toRdd.count() materializes EVERY output column — a plain count()
@@ -131,35 +179,7 @@ object Bench {
     val qs = (results :+ ("flagship_e2e" -> secs))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
-    // dedup family at corpus scale: the docs/sec headline (the sf corpus is
-    // only ~5k docs — fixed overhead, not throughput; the sharded ×mult
-    // corpus is the honest linear-workload measurement). Materialized to
-    // parquet ONCE: a production corpus is one table with real file stats,
-    // not a 16-branch union whose translate() synthesis would otherwise be
-    // re-derived in every operator subtree (and whose generator-based size
-    // estimates mislead the planner).
-    val dmult = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "16").toInt
-    val corpusPath = s"/tmp/graft_scaled_corpus_x$dmult"
-    scaledCorpus(spark, sfDir, dmult).write.mode("overwrite").parquet(corpusPath)
-    def corpusScaled = spark.read.parquet(corpusPath)
-    val nDocs = corpusScaled.count()
-    val dedupOps: Seq[(String, () => DataFrame)] = Seq(
-      "exact" -> (() => graft.ops.TextOps.exactDupGroups(corpusScaled)),
-      "minhash" -> (() => graft.ops.TextOps.minhashWide(corpusScaled)),
-      "lsh_pairs" -> (() => graft.ops.TextOps.lshPairs(corpusScaled)),
-      "jaccard" -> (() => graft.ops.TextOps.ngramJaccard(corpusScaled)),
-      "simhash" -> (() => graft.ops.TextOps.simhash16(corpusScaled)),
-      "fingerprint" -> (() => graft.ops.TextOps.fingerprint(corpusScaled)),
-      "curation" -> (() => graft.ops.TextOps.curate(corpusScaled)),
-      "para_dedup" -> (() => graft.ops.WebCuration.paragraphDedup(corpusScaled)),
-      "incr_dedup" -> (() => graft.ops.TextOps.incrementalDedup(corpusScaled, 100000000L)))
-    val dedupSecs = dedupOps.map { case (nm, f) =>
-      nm -> best(() => { f().queryExecution.toRdd.count(); () })
-    }
-    val dsec = dedupSecs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val ddps = dedupSecs.map { case (k, v) => "\"" + k + "\":" + f"${nDocs / v}%.0f" }.mkString("{", ",", "}")
-
-    val line = s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":$qs,"dedup":{"docs":$nDocs,"mult":$dmult,"secs":$dsec,"docs_per_sec":$ddps},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":$qs,"dedup":{"docs":$nDocs,"mult":$dmult,"secs":$dsec,"docs_per_sec":$ddps,"docs_small":$docsSmall,"mult_small":$dmultSmall,"docs_per_sec_small":$ddpsSmall,"dps_ratio_large_over_small":$dlin},"sf":"$sfDir"}"""
     // bare line on stdout (run/outputStrategy := StdoutOutput keeps it
     // unprefixed) + a file copy so the driver can always recover the metric
     println(line)
