@@ -98,7 +98,9 @@ object AnnSearch {
     val ql = q.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qvec"), col("pos"), col("q").as("qq"))
     val dots = cand
+      .hint("shuffle_hash") // build = candidate chain; posexploded q is 256× under-estimated
       .join(ql, "qvec")
+      .hint("shuffle_hash")
       .join(q.select(col("vec_id").as("vec"), col("pos"), col("q")), Seq("vec", "pos"))
       .groupBy(col("qvec"), col("vec"))
       .agg(sum(col("qq") * col("q")).as("dot"))
@@ -146,7 +148,9 @@ object AnnSearch {
       .filter(col("qvec") =!= col("vec_id"))
       .select(col("qvec"), col("vec_id").as("vec")).distinct()
     val dots = cand
+      .hint("shuffle_hash")
       .join(q.select(col("vec_id").as("qvec"), col("pos"), col("q").as("qq")), "qvec")
+      .hint("shuffle_hash")
       .join(q.select(col("vec_id").as("vec"), col("pos"), col("q")), Seq("vec", "pos"))
       .groupBy(col("qvec"), col("vec"))
       .agg(sum(col("qq") * col("q")).as("dot"))
@@ -187,7 +191,7 @@ object AnnSearch {
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
-    q.join(assign, "vec_id")
+    q.join(assign.hint("shuffle_hash"), "vec_id")
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_members"))
   }
@@ -216,7 +220,7 @@ object AnnSearch {
       .groupBy(col("vec_id"))
       .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
-    q.join(assign, "vec_id")
+    q.join(assign.hint("shuffle_hash"), "vec_id")
       .groupBy(col("cid"), col("pos"))
       .agg((sum(col("q")).cast("double") / count(lit(1)).cast("double")).as("cq"))
   }
@@ -266,7 +270,9 @@ object AnnSearch {
       .filter(col("qvec") =!= col("vec_id"))
       .select(col("qvec"), col("vec_id").as("vec")).distinct()
     val dots = cand
+      .hint("shuffle_hash")
       .join(q.select(col("vec_id").as("qvec"), col("pos"), col("q").as("qq")), "qvec")
+      .hint("shuffle_hash")
       .join(q.select(col("vec_id").as("vec"), col("pos"), col("q")), Seq("vec", "pos"))
       .groupBy(col("qvec"), col("vec"))
       .agg(sum(col("qq") * col("q")).as("dot"))
@@ -332,7 +338,9 @@ object AnnSearch {
     val q = quantized(emb).cache()
     val n = norms(q)
     val dots = cand
+      .hint("shuffle_hash")
       .join(q.select(col("vec_id").as("va"), col("pos"), col("q").as("qa")), "va")
+      .hint("shuffle_hash")
       .join(q.select(col("vec_id").as("vb"), col("pos"), col("q").as("qb")), Seq("vb", "pos"))
       .groupBy(col("va"), col("vb"))
       .agg(sum(col("qa") * col("qb")).as("dot"))
