@@ -629,6 +629,11 @@ object SparkEntry {
     // level path up/downstream to 8 km, lake/branch breaks, nearest-gage-wins
     "q88_rating_trace" -> ((s, _) => Calibration.usgsRatingTrace(s)),
 
+    // dedup report: exact-content cluster-size histogram (C4-style removal
+    // accounting — clusters, docs held, docs a keep-one pass removes)
+    "q93_dup_clusters" -> ((s, dir) =>
+      TextOps.dupClusterStats(Synth.corpus(s, dir))),
+
     // version-regression diff: new vs previous master metrics, melted per
     // stat with an orientation-aware regression verdict (the release gate)
     "q89_version_regression" -> ((s, dir) =>
@@ -1016,6 +1021,15 @@ object SparkEntry {
 
     "q23_reaches" -> withCtes(net)(
       "SELECT hydroid, huc8, order_, length_km, to_node FROM net"),
+
+    "q93_dup_clusters" -> withCtes(corpus,
+      """cl93 AS (
+        |  SELECT md5(text) AS h, count(*) AS cluster_size FROM corpus GROUP BY md5(text)
+        |)""".stripMargin)(
+      """SELECT cluster_size, count(*) AS n_clusters,
+        |  cluster_size * count(*) AS n_docs,
+        |  (cluster_size - 1) * count(*) AS n_removed
+        |FROM cl93 GROUP BY cluster_size""".stripMargin),
 
     "q88_rating_trace" -> withRecursiveCtes(net, closure, arboAgg, chosenCte, lpCte,
       """tr AS (

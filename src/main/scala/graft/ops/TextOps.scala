@@ -203,6 +203,21 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("mean_word_len"), col("stop_ratio"))
   }
 
+  /** Dup-cluster size distribution (q93) — the dedup report every curation
+    * run prints (C4/RefinedWeb style): how many exact-content clusters exist
+    * at each size, how many documents they hold, and how many a
+    * keep-one-per-cluster pass removes. Two partial-aggregating groupBys
+    * (content hash → cluster size → histogram); the second input is one row
+    * per distinct content — already corpus-shrunk. */
+  def dupClusterStats(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removed"))
+
   /** Incremental near-dup check (q83) — the PRODUCTION dedup shape: a new
     * crawl batch (doc_id ≥ `idSplit`) is LSH-checked AGAINST the existing
     * corpus only. Batch bands join base bands (no batch×batch or base×base
