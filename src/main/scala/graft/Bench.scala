@@ -170,6 +170,17 @@ object Bench {
       k -> ((nDocs / vL) / (docsSmall / vS)) }, v => f"$v%.2f")
 
 
+    def writeRecord(line: String): Unit =
+      try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_bench.json"), line + "\n")
+      } catch { case _: Throwable => () }
+    def jsonLine(qs: String): String =
+      s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":$qs,"dedup":{"docs":$nDocs,"mult":$dmult,"secs":$dsec,"docs_per_sec":$ddps,"docs_small":$docsSmall,"mult_small":$dmultSmall,"docs_per_sec_small":$ddpsSmall,"dps_ratio_large_over_small":$dlin},"sf":"$sfDir"}"""
+    // provisional record NOW: if the per-query sweep is killed by an outer
+    // timeout, the flagship + dedup headlines still survive on disk
+    writeRecord(jsonLine("{}"))
+
     val results = (if (only.contains("dedup")) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       // toRdd.count() materializes EVERY output column — a plain count()
@@ -179,14 +190,11 @@ object Bench {
     val qs = (results :+ ("flagship_e2e" -> secs))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
-    val line = s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":$qs,"dedup":{"docs":$nDocs,"mult":$dmult,"secs":$dsec,"docs_per_sec":$ddps,"docs_small":$docsSmall,"mult_small":$dmultSmall,"docs_per_sec_small":$ddpsSmall,"dps_ratio_large_over_small":$dlin},"sf":"$sfDir"}"""
+    val line = jsonLine(qs)
     // bare line on stdout (run/outputStrategy := StdoutOutput keeps it
     // unprefixed) + a file copy so the driver can always recover the metric
     println(line)
-    try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_bench.json"), line + "\n")
-    } catch { case _: Throwable => () }
+    writeRecord(line)
     spark.stop()
   }
 }
