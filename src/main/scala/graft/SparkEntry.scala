@@ -140,6 +140,15 @@ object SparkEntry {
         .filter(col("cos") >= 0.35)
         .select(col("va"), col("vb"), col("cos"))),
 
+    // near-dup threshold tuning: cosine-band histogram over ALL candidate
+    // pairs (what moves if the dedup cut-off shifts a band)
+    "q94_neardup_hist" -> ((s, dir) =>
+      AnnSearch.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"))
+        .select(floor(col("cos") * lit(10.0)).cast("long").as("band"), col("cos"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("cos")).as("cos_min"), max(col("cos")).as("cos_max"))),
+
     // ---- graph ops (§2.9) over the synthetic stream network ----
 
     // network synthesis (reach table)
@@ -964,10 +973,28 @@ object SparkEntry {
         |      FROM sc72)
         |WHERE rank <= 5""".stripMargin),
 
-    "q49_embed_neardup" -> {
-      // adaptive nBits (masked to the first `nb` of 16 bit-sums, nb from the
-      // corpus count — the same integer formula as AnnSearch.adaptiveBits)
-      // × 8 hyperplane tables, mirroring AnnSearch.nearDupPairs
+    "q49_embed_neardup" -> neardupOracle(
+      """SELECT d.va, d.vb,
+        |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+        |FROM dts d JOIN nrm na ON d.va = na.vec_id JOIN nrm nb ON d.vb = nb.vec_id
+        |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |  >= CAST(0.35 AS DOUBLE)""".stripMargin),
+
+    "q94_neardup_hist" -> neardupOracle(
+      """SELECT CAST(floor(cosv * CAST(10.0 AS DOUBLE)) AS BIGINT) AS band,
+        |  count(*) AS n_pairs, min(cosv) AS cos_min, max(cosv) AS cos_max
+        |FROM (SELECT CAST(d.dot AS DOUBLE)
+        |        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosv
+        |      FROM dts d JOIN nrm na ON d.va = na.vec_id JOIN nrm nb ON d.vb = nb.vec_id)
+        |GROUP BY CAST(floor(cosv * CAST(10.0 AS DOUBLE)) AS BIGINT)""".stripMargin),
+  ) ++ oracleSqlRest
+
+  /** Shared oracle-CTE chain for the adaptive multi-table SRP near-dup
+    * candidates (q49/q94): adaptive nBits (masked to the first `nb` of 16
+    * bit-sums, nb from the corpus count — the same integer formula as
+    * AnnSearch.adaptiveBits) × 8 hyperplane tables, mirroring
+    * AnnSearch.nearDupPairs; `body` runs over the dts/nrm tables. */
+  private def neardupOracle(body: String): String = {
       val tables = 8
       def bktCte(t: Int): String = {
         val sums = (0 until 16).map(b =>
@@ -1011,13 +1038,10 @@ object SparkEntry {
           |  FROM cp c JOIN qt x ON x.vec_id = c.va
           |  JOIN qt y ON y.vec_id = c.vb AND y.pos = x.pos
           |  GROUP BY c.va, c.vb
-          |)""".stripMargin): _*)(
-        """SELECT d.va, d.vb,
-          |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
-          |FROM dts d JOIN nrm na ON d.va = na.vec_id JOIN nrm nb ON d.vb = nb.vec_id
-          |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-          |  >= CAST(0.35 AS DOUBLE)""".stripMargin)
-    },
+          |)""".stripMargin): _*)(body)
+  }
+
+  private def oracleSqlRest: Map[String, String] = Map(
 
     "q23_reaches" -> withCtes(net)(
       "SELECT hydroid, huc8, order_, length_km, to_node FROM net"),
