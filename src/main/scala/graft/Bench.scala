@@ -31,6 +31,9 @@ object Bench {
     * exact-copy explode would instead manufacture m-sized duplicate
     * cliques and quadratic pair counts the real crawl doesn't have). */
   def scaledCorpus(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    require(m >= 1 && m <= 26,
+      s"m=$m: beyond 26 shards the rotation wraps and identical-alphabet " +
+        "shard pairs manufacture cross-shard duplicate cliques")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val base = Synth.corpus(spark, sfDir)
     (0 until m).map { j =>
@@ -152,7 +155,11 @@ object Bench {
         "fingerprint" -> (() => graft.ops.TextOps.fingerprint(corpusScaled)),
         "curation" -> (() => graft.ops.TextOps.curate(corpusScaled)),
         "para_dedup" -> (() => graft.ops.WebCuration.paragraphDedup(corpusScaled)),
-        "incr_dedup" -> (() => graft.ops.TextOps.incrementalDedup(corpusScaled, 100000000L)))
+        // idSplit = 1e6: base = shard 0's ORIGINAL docs, batch = shard 0's
+        // clones + every other shard — the verify join sees real near-dup
+        // candidates (an inter-shard split would find zero by construction
+        // and measure only shingling/banding)
+        "incr_dedup" -> (() => graft.ops.TextOps.incrementalDedup(corpusScaled, 1000000L)))
       (nDocs, ops.map { case (nm, f) =>
         nm -> best(() => { f().queryExecution.toRdd.count(); () })
       })
@@ -170,8 +177,10 @@ object Bench {
       k -> ((nDocs / vL) / (docsSmall / vS)) }, v => f"$v%.2f")
 
 
+    // only a FULL run may touch the official record — smoke/partial runs
+    // (SPARK_GRAFT_ONLY set) once clobbered the committed round record
     def writeRecord(line: String): Unit =
-      try {
+      if (only.isEmpty) try {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
         java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_bench.json"), line + "\n")
       } catch { case _: Throwable => () }

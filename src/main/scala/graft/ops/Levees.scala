@@ -130,9 +130,9 @@ object Levees {
 
   /** Distinct (levee_id, levelpath_id) pairs whose path touches the given
     * rect family — the engine's `gpd.sjoin(buffers, levelpaths)`. */
-  private def sjoinPaths(spark: SparkSession, segs: DataFrame,
+  private def sjoinPaths(spark: SparkSession, cov: DataFrame,
       rects: Seq[(Int, Double, Double, Double, Double)]): DataFrame =
-    segsWithCover(segs)
+    cov
       .join(broadcast(coverDf(spark, rects)), "ccell")
       .filter(segIntersectsRect(col("x0"), col("x1"), col("y0"), col("y1")))
       .select(col("levee_id"), col("levelpath_id")).distinct()
@@ -141,7 +141,10 @@ object Levees {
     * (levee, levelpath) with the resolved side and the crossing count. */
   def associate(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val segs = pathSegments(spark)
+    // ONE covered-segment table, cached: three branches (buffer sjoin,
+    // crossings, area sjoin) read it — without the cache each re-derives
+    // the reach network + per-HUC level-path kernel + cover explode
+    val cov = segsWithCover(pathSegments(spark)).cache()
 
     // --- steps 1+2 driver-side (the levee scene is a 120-row dimension):
     // per-side buffer ∩ leveed-area overlap areas, same-id matches only
@@ -171,7 +174,7 @@ object Levees {
     // --- step 4: not-found levees get a double-width two-sided buffer
     val nfRects = leveeList.filter(l => notFound.contains(l.levee_id))
       .map(l => (l.levee_id, l.x0, l.x1, l.y - 2 * BufferDeg, l.y + 2 * BufferDeg))
-    val pairs = sjoinPaths(spark, segs, leftRects ++ rightRects ++ nfRects)
+    val pairs = sjoinPaths(spark, cov, leftRects ++ rightRects ++ nfRects)
 
     // --- step 5a: crossing counts of the levee LINE itself per pair.
     // A segment strictly crossing y has the line's cover row inside its own
@@ -182,7 +185,7 @@ object Levees {
       Cells.cover(l.y, l.y, l.x0, math.nextDown(l.x1), Cells.CoarseRes)
         .map(cc => (cc, l.levee_id, l.y, l.x0, l.x1))
     }.toDF("ccell", "levee_id", "y", "x0", "x1")
-    val crossed = segsWithCover(segs)
+    val crossed = cov
       .join(broadcast(lineCover), "ccell")
       .filter((col("yf") - col("y")) * (col("yt") - col("y")) < 0)
       .withColumn("xc",
@@ -193,7 +196,7 @@ object Levees {
       .agg(count(lit(1)).as("n_crossings"))
     // --- step 5b: does the path touch the leveed area?
     val areaRects = leveeList.map(l => (l.levee_id, l.a_x0, l.x1, l.a_lat_min, l.a_lat_max))
-    val touchesArea = sjoinPaths(spark, segs, areaRects).withColumn("touches", lit(1))
+    val touchesArea = sjoinPaths(spark, cov, areaRects).withColumn("touches", lit(1))
 
     val sideCol = leveeList.map(l =>
       (l.levee_id, sides.getOrElse(l.levee_id, "none"))).toDF("levee_id", "levee_side")

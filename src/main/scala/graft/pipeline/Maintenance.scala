@@ -52,41 +52,70 @@ object Maintenance {
 
   /** Compaction EXECUTION (the rewriteDataFiles job the planner feeds):
     * every committed partition holding more than one parquet file is read
-    * back and rewritten as a single file. Swap order is add-then-delete:
-    * the compacted file is moved into the partition under a fresh generation
-    * name FIRST, and the old files are deleted only after it landed — a
-    * crash mid-swap leaves a transient duplicate (readers over-count), never
-    * a data loss; the temp dir may be a different filesystem, so the move
-    * can be a non-atomic copy and must therefore precede any delete. Content
-    * is byte-identical row-wise, so the manifest's order-insensitive lineage
+    * back and rewritten as a single file, with a crash-safe swap driven by
+    * a per-generation INTENT file (the rewrite's write-ahead log):
+    *
+    *   1. recover any interrupted swap (see below), then list sources;
+    *   2. write the compacted data OUTSIDE the live namespace
+    *      (`…parquet.tmp` — readers match only `*.parquet`);
+    *   3. write `compact-intent-<gen>.json` naming the target and the exact
+    *      source files it replaces;
+    *   4. same-directory rename `.tmp` → `.parquet` (atomic);
+    *   5. delete the listed sources, then the intent.
+    *
+    * Crash windows: before 3 → orphan `.tmp`, removed by recovery; between
+    * 3 and 4 → intent without target, recovery deletes intent + tmp
+    * (original files untouched); between 4 and 5 → recovery finishes the
+    * delete of EXACTLY the intent's listed sources — a duplicate is visible
+    * only transiently and can never be re-compacted into the data (the next
+    * run recovers before it reads), and files appended AFTER the intent are
+    * never deleted because the intent lists names, not patterns. Content is
+    * byte-identical row-wise, so the manifest's order-insensitive lineage
     * fingerprint STAYS VALID — compaction needs no recommit. Returns the
     * partitions rewritten. */
   def compactTable(spark: SparkSession, table: String, partCol: String): Seq[String] = {
-    import java.nio.file.{Files, Path, Paths}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     def listFiles(dir: Path, suffix: String): Seq[Path] = {
       val s = Files.list(dir)
       try s.iterator().asScala.filter(_.toString.endsWith(suffix)).toSeq
       finally s.close()
     }
+    def recover(dir: Path): Unit = {
+      listFiles(dir, ".json").filter(_.getFileName.toString.startsWith("compact-intent-"))
+        .foreach { intent =>
+          val lines = Files.readAllLines(intent).asScala
+          val target = dir.resolve(lines.head)
+          if (Files.exists(target)) // swap completed: finish the source delete
+            lines.tail.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+          Files.delete(intent) // incomplete swap: sources stay authoritative
+        }
+      listFiles(dir, ".parquet.tmp").foreach(Files.delete) // orphan staging
+    }
     Snapshots.committedPartitions(table).toSeq.sorted.flatMap { p =>
       val dir = Paths.get(table, s"$partCol=$p")
       if (!Files.isDirectory(dir)) None
       else {
+        recover(dir)
         val files = listFiles(dir, ".parquet")
         if (files.size <= 1) None
         else {
           val tmp = Files.createTempDirectory("graft_compact")
           spark.read.parquet(dir.toString)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          // generation tag keeps names unique vs survivors of earlier
-          // compactions (an old compacted-0.parquet must never be overwritten
-          // while it is still the live copy)
           val gen = System.nanoTime()
-          listFiles(tmp, ".parquet").zipWithIndex.foreach { case (f, i) =>
-            Files.move(f, dir.resolve(s"compacted-$gen-$i.parquet"))
-          }
+          // coalesce(1) wrote exactly one data file
+          val tmpData = listFiles(tmp, ".parquet").head
+          val name = s"compacted-$gen.parquet"
+          // cross-filesystem copy lands outside the live namespace
+          Files.move(tmpData, dir.resolve(name + ".tmp"), StandardCopyOption.REPLACE_EXISTING)
+          val intent = dir.resolve(s"compact-intent-$gen.json")
+          Files.write(intent,
+            (name +: files.map(_.getFileName.toString)).mkString("\n").getBytes("UTF-8"))
+          Files.move(dir.resolve(name + ".tmp"), dir.resolve(name),
+            StandardCopyOption.ATOMIC_MOVE)
           files.foreach(Files.delete)
+          Files.delete(intent)
           Some(p)
         }
       }

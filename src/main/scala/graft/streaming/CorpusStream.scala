@@ -51,16 +51,21 @@ object CorpusStream {
     * monotonically and later batches dedup against everything accepted so
     * far. Exact within-batch duplicates collapse on content hash first.
     *
-    * Delivery: foreachBatch + append parquet is at-least-once on failure
-    * replay (the checkpoint re-runs an uncommitted batch); the artifact
-    * append is idempotent at the LSH level — a replayed doc simply dedups
-    * against its own first copy. Exactly-once belongs to the snapshot
-    * layer's manifest commit ([[graft.pipeline.Snapshots]]). */
+    * Delivery: the ARTIFACT STORE is the authority and commits FIRST; a
+    * batch replayed after its artifacts landed re-accepts its own documents
+    * (their best match in the store is themselves — same doc_id, a state
+    * only a replay can produce), so a crash in any window loses nothing.
+    * The corpus sink is plain append parquet = at-least-once: a replay
+    * after the sink write can duplicate sink rows, which the batch exact
+    * dedup collapses on content hash downstream. Exactly-once belongs to
+    * the snapshot layer's manifest commit ([[graft.pipeline.Snapshots]]).
+    * Pass `checkpoint` so a RESTARTED query resumes from committed offsets
+    * instead of reprocessing the source from scratch. */
   def incrementalIngest(spark: SparkSession, srcDir: String, artifactDir: String,
-      outDir: String, jaccardMax: Double = 0.9)
+      outDir: String, jaccardMax: Double = 0.9, checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val shDir = s"$artifactDir/sh"; val bandDir = s"$artifactDir/bands"
-    spark.readStream.schema(docSchema).parquet(srcDir)
+    val writer = spark.readStream.schema(docSchema).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val docs = batch
@@ -74,20 +79,37 @@ object CorpusStream {
           if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
             s.read.parquet(dir)
           else like.filter(lit(false))
-        val dups = TextOps.incrementalDedupAgainst(
+        // dup ids are few — collect them so nothing downstream holds a
+        // reference to the verify plan's internal caches
+        val dupIds = TextOps.incrementalDedupAgainst(
             readOrEmpty(shDir, bsh), readOrEmpty(bandDir, bbands),
             bsh, bbands, jaccardMax)
-          .filter(col("is_dup") === 1).select(col("doc_id"))
-        val accepted = docs.join(broadcast(dups), Seq("doc_id"), "left_anti").cache()
-        accepted.write.mode("append").parquet(outDir)
-        bsh.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          // a doc whose BEST match is itself is a replayed batch re-checking
+          // against its own committed artifacts — accept it again
+          .filter(col("is_dup") === 1 && col("match_doc") =!= col("doc_id"))
+          .select(col("doc_id")).collect().map(_.getLong(0))
+        val accepted = docs
+          .filter(if (dupIds.isEmpty) lit(true) else !col("doc_id").isin(dupIds: _*))
+          .cache()
+        val newIds = accepted.select(col("doc_id"))
+          .join(readOrEmpty(bandDir, bbands).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti").cache()
+        newIds.count() // materialize from the PRE-batch store snapshot, so no
+                       // later job reads the path it is appending to
+        // artifact store commits FIRST (only ids not already in the store —
+        // a replay must not double-append its artifacts), sink second
+        bsh.join(newIds, Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(shDir)
-        bbands.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        bbands.join(newIds, Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(bandDir)
+        accepted.write.mode("append").parquet(outDir)
         bsh.unpersist(); bbands.unpersist(); accepted.unpersist()
+        // drop the verify plan's internal pair cache: a long-running stream
+        // would otherwise accumulate one orphan cache entry per micro-batch
+        s.catalog.clearCache()
         ()
       }
-      .start()
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 
   /** Exact-dedup + quality-gate a document stream. Emits

@@ -153,6 +153,51 @@ class SnapshotsSpec extends SparkTestBase {
     lin.foreach { l => assert(fp(l.part) == ((l.rows, l.xor)), s"fingerprint drift at ${l.part}") }
   }
 
+  test("compaction crash recovery: interrupted swap never doubles rows, incomplete swap keeps sources") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_compcrash").toString
+    val table = s"$dir/tiles"
+    val df = graft.ops.SpatialJoin.assign(spark, Synth.points(spark, sf0001))
+      .select(col("pid"), col("hydroid").cast("long").as("hydroid"), col("huc8"))
+      .repartition(4)
+    val lin = Snapshots.writeResumable(spark, df, table, "huc8")
+    val victim = lin.map(_.part).max
+    val nRows = lin.find(_.part == victim).get.rows
+    val vdir = Paths.get(table, s"huc8=$victim")
+    def parquets() = Files.list(vdir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+
+    // simulate a crash BETWEEN the rename and the source delete (window 4-5):
+    // compacted target + intent present, sources still on disk
+    val sources = parquets().map(_.getFileName.toString)
+    spark.read.parquet(vdir.toString).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/staged")
+    val staged = Files.list(Paths.get(s"$dir/staged")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.head
+    Files.move(staged, vdir.resolve("compacted-42.parquet"))
+    Files.write(vdir.resolve("compact-intent-42.json"),
+      ("compacted-42.parquet" +: sources).mkString("\n").getBytes("UTF-8"))
+    assert(parquets().size == sources.size + 1, "crash state: duplicate visible")
+
+    // the next compaction run must RECOVER (delete exactly the listed
+    // sources) before reading anything — rows must come out exact, once
+    graft.pipeline.Maintenance.compactTable(spark, table, "huc8")
+    assert(spark.read.parquet(vdir.toString).count() == nRows,
+      "rows doubled or lost after crash recovery")
+    assert(parquets().size == 1)
+
+    // simulate a crash BEFORE the rename (window 3-4): intent + tmp only —
+    // recovery must drop both and keep the sources authoritative
+    Files.write(vdir.resolve("compact-intent-77.json"),
+      "compacted-77.parquet\ncompacted-42.parquet".getBytes("UTF-8"))
+    Files.write(vdir.resolve("compacted-77.parquet.tmp"), Array[Byte](1, 2, 3))
+    graft.pipeline.Maintenance.compactTable(spark, table, "huc8")
+    assert(spark.read.parquet(vdir.toString).count() == nRows)
+    assert(!Files.exists(vdir.resolve("compact-intent-77.json")))
+    assert(!Files.exists(vdir.resolve("compacted-77.parquet.tmp")))
+  }
+
   test("AvailableNow catch-up: streaming agg over the snapshot backlog terminates by itself") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_catchup").toString

@@ -61,6 +61,19 @@ class CorpusStreamSpec extends SparkTestBase {
       q.processAllAvailable()
       val ids3 = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
       assert(ids3 == Set(1L, 2L, 11L), s"clone of a batch-2 acceptee must be rejected: $ids3")
+      // REPLAY: doc 11 re-arrives after its artifacts committed (the crash-
+      // between-artifact-and-sink window). Its best match in the store is
+      // ITSELF, so it must be re-accepted (no loss) — sink is at-least-once,
+      // so the duplicate row is expected and collapsible by content hash —
+      // while the artifact store must NOT double-append its bands
+      writeBatch(in, Seq((11L, text(7), 4000L)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).filter(col("doc_id") === 11L).count() == 2,
+        "replayed doc lost: self-match must re-accept")
+      val bands11 = spark.read.parquet(s"$art/bands")
+        .filter(col("doc_id") === 11L).count()
+      assert(bands11 == graft.ops.TextOps.NumBands,
+        s"artifact store double-appended a replayed doc: $bands11 band rows")
     } finally q.stop()
   }
 
