@@ -85,6 +85,15 @@ class AnnSpec extends SparkTestBase {
     // query probes then hold more of its true neighborhood
     assert(trained >= untrained, s"trained=$trained < untrained=$untrained")
     assert(trained2 >= untrained, s"trained2=$trained2 < untrained=$untrained")
+    // the nProbe knob: more probed lists = proportionally more scanned
+    // candidates and monotonically more recall — the trade a user tunes
+    val cents = AnnSearch.trainedCentroids(embBig)
+    val curve = Seq(1, 3, 6).map(p =>
+      p -> recallOf(AnnSearch.ivfTopKWith(embBig, cents, 5, nProbe = p).collect()))
+    info(s"IVF recall@5 vs nProbe (trained): $curve")
+    curve.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b >= a, s"recall fell as nProbe grew: $curve")
+    }
   }
 
   test("SRP buckets: clones of the same vector share a bucket; buckets bounded") {
