@@ -29,6 +29,15 @@ object Profile {
     t("minhashFull")(TextOps.minhashLong(corpus).queryExecution.toRdd.count())
     t("simhashFull")(TextOps.simhash16(corpus).queryExecution.toRdd.count())
     t("fingerprintFull")(TextOps.fingerprint(corpus).queryExecution.toRdd.count())
+    // curate decomposition (q50's cost structure)
+    spark.catalog.clearCache()
+    t("quality")(TextOps.quality(corpus).filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .queryExecution.toRdd.count())
+    spark.catalog.clearCache()
+    t("jaccard_chain")(TextOps.ngramJaccard(corpus).queryExecution.toRdd.count())
+    spark.catalog.clearCache()
+    t("curate_full")(TextOps.curate(corpus).queryExecution.toRdd.count())
+    t("curate_warm")(TextOps.curate(corpus).queryExecution.toRdd.count())
     spark.stop()
   }
 }
