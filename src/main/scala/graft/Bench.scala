@@ -23,23 +23,30 @@ object Bench {
         .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
         .select((col("pid0") + col("j") * 50000000L).as("pid")))
 
-  /** Web corpus multiplied `m`× (m ≤ 26): distinct doc_ids and a per-copy
-    * rotated alphabet, so the copies are m INDEPENDENT shards of the same
-    * duplicate distribution — each shard replicates the base corpus's
-    * engineered clone structure but shares no shingles across shards.
-    * Every dedup-family operator therefore scales LINEARLY on it (an
-    * exact-copy explode would instead manufacture m-sized duplicate
-    * cliques and quadratic pair counts the real crawl doesn't have). */
+  /** Web corpus multiplied `m`× (m ≤ 312): distinct doc_ids and a per-copy
+    * AFFINE-permuted alphabet (x → a·x + b mod 26, a coprime to 26 — the
+    * classical affine cipher; 12 units × 26 shifts = 312 distinct
+    * permutations, pairwise agreeing on ≤ 1 letter so no 8-gram of distinct
+    * letters can collide across shards), making the copies m INDEPENDENT
+    * shards of the same duplicate distribution — each shard replicates the
+    * base corpus's engineered clone structure but shares no shingles across
+    * shards. Every dedup-family operator therefore scales LINEARLY on it
+    * (an exact-copy explode would instead manufacture m-sized duplicate
+    * cliques and quadratic pair counts the real crawl doesn't have).
+    * Shards 0–25 (a = 1) reproduce the old pure-rotation scheme exactly. */
   def scaledCorpus(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
-    require(m >= 1 && m <= 26,
-      s"m=$m: beyond 26 shards the rotation wraps and identical-alphabet " +
-        "shard pairs manufacture cross-shard duplicate cliques")
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25) // coprime to 26
+    require(m >= 1 && m <= 26 * units.size,
+      s"m=$m: beyond ${26 * units.size} shards the affine-permutation space " +
+        "wraps and identical-alphabet shard pairs manufacture cross-shard " +
+        "duplicate cliques")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val base = Synth.corpus(spark, sfDir)
     (0 until m).map { j =>
-      val rot = alpha.drop(j % 26) + alpha.take(j % 26)
+      val a = units(j / 26); val b = j % 26
+      val perm = (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
       base.select((col("doc_id") + lit(j.toLong * 100000000L)).as("doc_id"),
-        translate(col("text"), alpha, rot).as("text"), col("lang"))
+        translate(col("text"), alpha, perm).as("text"), col("lang"))
     }.reduce(_ unionByName _)
   }
 
@@ -113,8 +120,10 @@ object Bench {
     // the whole sweep stays inside a round-driver-friendly budget
     def best(f: () => Unit): Double = {
       val first = timeOnce(f)
-      if (first < 0) // transient failure: retry before recording a -1
-        (2 to reps).map(_ => timeOnce(f)).filter(_ >= 0).minOption.getOrElse(-1.0)
+      if (first < 0) // transient failure: retry (at least once, even when
+        // reps = 1 — the retry budget is for failures, not extra samples)
+        (1 to math.max(1, reps - 1)).map(_ => timeOnce(f))
+          .filter(_ >= 0).minOption.getOrElse(-1.0)
       else if (first < 0.7 || first > 60.0) first
       else (first +: (2 to reps).map(_ => timeOnce(f)).filter(_ >= 0)).min
     }
@@ -139,8 +148,9 @@ object Bench {
     // generator-based size estimates mislead the planner). Measured at TWO
     // corpus sizes — flat docs/sec between them is the linearity evidence
     // the 100 TB claim rests on.
-    val dmult = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "16").toInt
+    val dmult = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "64").toInt
     val dmultSmall = math.max(1, dmult / 4)
+    val dmultTiny = math.max(1, dmult / 16)
     def dedupLeg(m: Int): (Long, Seq[(String, Double)]) = {
       val corpusPath = s"/tmp/graft_scaled_corpus_x$m"
       scaledCorpus(spark, sfDir, m).write.mode("overwrite").parquet(corpusPath)
@@ -164,17 +174,32 @@ object Bench {
         nm -> best(() => { f().queryExecution.toRdd.count(); () })
       })
     }
+    // THREE corpus sizes (×dmult/16, ×dmult/4, ×dmult — default 4/16/64):
+    // flat docs/sec between the two LARGEST legs is the linearity evidence
+    // (the tiny→mid ratio mostly shows fixed overhead amortizing)
+    val (docsTiny, secsTiny) = dedupLeg(dmultTiny)
     val (docsSmall, secsSmall) = dedupLeg(dmultSmall)
     val (nDocs, dedupSecs) = dedupLeg(dmult)
     def obj(xs: Seq[(String, Double)], f0: Double => String) =
       xs.map { case (k, v) => "\"" + k + "\":" + f0(v) }.mkString("{", ",", "}")
+    // an op that failed ALL reps has wall = -1.0: keep the -1 visible in
+    // `secs` but emit null (not negative garbage) for every derived
+    // throughput/ratio entry
+    def dps(docs: Long, v: Double): String =
+      if (v < 0) "null" else f"${docs / v}%.0f"
     val dsec = obj(dedupSecs, v => f"$v%.3f")
-    val ddps = obj(dedupSecs, v => f"${nDocs / v}%.0f")
-    val ddpsSmall = obj(secsSmall, v => f"${docsSmall / v}%.0f")
+    val ddps = obj(dedupSecs, v => dps(nDocs, v))
+    val ddpsSmall = obj(secsSmall, v => dps(docsSmall, v))
+    val ddpsTiny = obj(secsTiny, v => dps(docsTiny, v))
     // dps ratio large/small corpus: ~1 = linear cost, >1 = fixed overhead
     // amortizing away, <1 = superlinear cost creeping in
-    val dlin = obj(dedupSecs.zip(secsSmall).map { case ((k, vL), (_, vS)) =>
-      k -> ((nDocs / vL) / (docsSmall / vS)) }, v => f"$v%.2f")
+    def ratio(big: Seq[(String, Double)], nBig: Long,
+        small: Seq[(String, Double)], nSmall: Long): String =
+      obj(big.zip(small).map { case ((k, vL), (_, vS)) =>
+        k -> (if (vL < 0 || vS < 0) Double.NaN else (nBig / vL) / (nSmall / vS)) },
+        v => if (v.isNaN) "null" else f"$v%.2f")
+    val dlin = ratio(dedupSecs, nDocs, secsSmall, docsSmall)
+    val dlinSmall = ratio(secsSmall, docsSmall, secsTiny, docsTiny)
 
 
     // only a FULL run may touch the official record — smoke/partial runs
@@ -185,7 +210,7 @@ object Bench {
         java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_bench.json"), line + "\n")
       } catch { case _: Throwable => () }
     def jsonLine(qs: String): String =
-      s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":$qs,"dedup":{"docs":$nDocs,"mult":$dmult,"secs":$dsec,"docs_per_sec":$ddps,"docs_small":$docsSmall,"mult_small":$dmultSmall,"docs_per_sec_small":$ddpsSmall,"dps_ratio_large_over_small":$dlin},"sf":"$sfDir"}"""
+      s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":$qs,"dedup":{"docs":$nDocs,"mult":$dmult,"secs":$dsec,"docs_per_sec":$ddps,"docs_small":$docsSmall,"mult_small":$dmultSmall,"docs_per_sec_small":$ddpsSmall,"docs_tiny":$docsTiny,"mult_tiny":$dmultTiny,"docs_per_sec_tiny":$ddpsTiny,"dps_ratio_large_over_small":$dlin,"dps_ratio_small_over_tiny":$dlinSmall},"sf":"$sfDir"}"""
     // provisional record NOW: if the per-query sweep is killed by an outer
     // timeout, the flagship + dedup headlines still survive on disk
     writeRecord(jsonLine("{}"))
@@ -204,6 +229,10 @@ object Bench {
     // unprefixed) + a file copy so the driver can always recover the metric
     println(line)
     writeRecord(line)
+    // the full line above (~3 KB) can overflow a stdout tail-capture window
+    // mid-line; the LAST line is a compact headline-only record (< 500 bytes,
+    // no per-query map) so any reasonable tail parses it
+    println(s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":{"flagship_e2e":${f"$secs%.3f"}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

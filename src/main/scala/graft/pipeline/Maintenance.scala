@@ -85,12 +85,36 @@ object Maintenance {
       listFiles(dir, ".json").filter(_.getFileName.toString.startsWith("compact-intent-"))
         .foreach { intent =>
           val lines = Files.readAllLines(intent).asScala
-          val target = dir.resolve(lines.head)
-          if (Files.exists(target)) // swap completed: finish the source delete
+          // A TORN intent (crash mid-write before the fsync below made it
+          // durable: zero bytes, a malformed target name, or no source list)
+          // is treated as if it were never written — the rename that consumes
+          // it only happens after the intent and its directory are fsynced,
+          // so a torn intent implies the swap did NOT start; sources stay
+          // authoritative and the staging tmp is swept by the orphan pass.
+          val wellFormed = lines.size >= 2 &&
+            lines.head.matches("compacted-\\d+\\.parquet")
+          if (wellFormed && Files.exists(dir.resolve(lines.head)))
+            // swap completed: finish the source delete
             lines.tail.foreach(n => Files.deleteIfExists(dir.resolve(n)))
           Files.delete(intent) // incomplete swap: sources stay authoritative
         }
       listFiles(dir, ".parquet.tmp").foreach(Files.delete) // orphan staging
+    }
+    // durable write: the intent (and the directory entry naming it) must hit
+    // disk BEFORE the atomic rename — otherwise a power loss could persist
+    // the rename but lose intent bytes, and recovery would finish the swap
+    // with a truncated source list, letting the next compaction re-compact
+    // the surviving duplicates into the data
+    def writeDurably(path: Path, bytes: Array[Byte]): Unit = {
+      import java.nio.channels.FileChannel
+      import java.nio.file.StandardOpenOption._
+      val ch = FileChannel.open(path, CREATE, WRITE, TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+      finally ch.close()
+      val dch = FileChannel.open(path.getParent, java.nio.file.StandardOpenOption.READ)
+      try dch.force(true)
+      catch { case _: java.io.IOException => () } // some FS refuse dir fsync
+      finally dch.close()
     }
     Snapshots.committedPartitions(table).toSeq.sorted.flatMap { p =>
       val dir = Paths.get(table, s"$partCol=$p")
@@ -110,7 +134,7 @@ object Maintenance {
           // cross-filesystem copy lands outside the live namespace
           Files.move(tmpData, dir.resolve(name + ".tmp"), StandardCopyOption.REPLACE_EXISTING)
           val intent = dir.resolve(s"compact-intent-$gen.json")
-          Files.write(intent,
+          writeDurably(intent,
             (name +: files.map(_.getFileName.toString)).mkString("\n").getBytes("UTF-8"))
           Files.move(dir.resolve(name + ".tmp"), dir.resolve(name),
             StandardCopyOption.ATOMIC_MOVE)

@@ -79,17 +79,20 @@ object CorpusStream {
           if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
             s.read.parquet(dir)
           else like.filter(lit(false))
-        // dup ids are few — collect them so nothing downstream holds a
-        // reference to the verify plan's internal caches
+        // dup ids stay DISTRIBUTED: a re-crawl storm can make most of a
+        // micro-batch duplicate, so collecting them to the driver (and
+        // filtering with a literal isin list) is an unbounded driver-memory /
+        // plan-size risk at crawl scale — the anti-join keeps the filter
+        // in-plan (AQE broadcasts the dup side when it is genuinely small)
         val dupIds = TextOps.incrementalDedupAgainst(
             readOrEmpty(shDir, bsh), readOrEmpty(bandDir, bbands),
             bsh, bbands, jaccardMax)
           // a doc whose BEST match is itself is a replayed batch re-checking
           // against its own committed artifacts — accept it again
           .filter(col("is_dup") === 1 && col("match_doc") =!= col("doc_id"))
-          .select(col("doc_id")).collect().map(_.getLong(0))
+          .select(col("doc_id"))
         val accepted = docs
-          .filter(if (dupIds.isEmpty) lit(true) else !col("doc_id").isin(dupIds: _*))
+          .join(dupIds, Seq("doc_id"), "left_anti")
           .cache()
         val newIds = accepted.select(col("doc_id"))
           .join(readOrEmpty(bandDir, bbands).select(col("doc_id")).distinct(),

@@ -196,6 +196,19 @@ class SnapshotsSpec extends SparkTestBase {
     assert(spark.read.parquet(vdir.toString).count() == nRows)
     assert(!Files.exists(vdir.resolve("compact-intent-77.json")))
     assert(!Files.exists(vdir.resolve("compacted-77.parquet.tmp")))
+
+    // simulate a TORN intent (crash mid-write before durability: zero bytes /
+    // garbage / target-only) — recovery must discard it without throwing and
+    // without deleting any source
+    Files.write(vdir.resolve("compact-intent-88.json"), Array.empty[Byte])
+    Files.write(vdir.resolve("compact-intent-89.json"),
+      "not-a-target-name".getBytes("UTF-8"))
+    Files.write(vdir.resolve("compact-intent-90.json"),
+      "compacted-90.parquet".getBytes("UTF-8")) // no source list
+    graft.pipeline.Maintenance.compactTable(spark, table, "huc8")
+    assert(spark.read.parquet(vdir.toString).count() == nRows)
+    Seq("compact-intent-88.json", "compact-intent-89.json", "compact-intent-90.json")
+      .foreach(n => assert(!Files.exists(vdir.resolve(n)), s"$n not cleaned"))
   }
 
   test("AvailableNow catch-up: streaming agg over the snapshot backlog terminates by itself") {
