@@ -661,6 +661,28 @@ object SparkEntry {
     // the hydrotable, discharge = postcalb / coef, provenance kept
     "q92_manual_calb" -> ((s, _) => Calibration.manualCalibration(s)),
 
+    // per-catchment alpha metrics ("FIM Performance" layer): the full
+    // contingency-metric family PER HydroID per (benchmark, magnitude) —
+    // the reference's 20-32 h test_case_by_hydro_id workload as one plan
+    "q95_alpha_by_hydroid" -> ((s, dir) =>
+      Agreement.alphaByHydroId(s, Inundate.run(s, dir))),
+
+    // crosswalk evaluation: per-HUC intersection-count agreement + upstream
+    // connectivity accuracy of the (error-injected) crosswalk
+    "q96_crosswalk_eval" -> ((s, _) => NetworkEval.crosswalkEval(s)),
+
+    // ras2fim rating calibration database: curve row nearest each NWM
+    // recurrence flow (as-of join), HAND and 10%-variance quality gates
+    "q97_ras2fim_rating" -> ((s, _) => Calibration.ras2fimRating(s)),
+
+    // flow-continuity mass balance: per-confluence upstream discharge sum vs
+    // forecast discharge, SAPE error term, sparse-forecast fillna(0) path
+    "q98_continuity" -> ((s, _) => NetworkEval.continuity(s)),
+
+    // branch-outlet backpool mitigation: outlier-sized outlet catchments
+    // flagged (exact integer mean/std), flowline trimmed, slope reclamped
+    "q99_backpool" -> ((s, dir) => NetworkEval.backpool(s, Synth.points(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1167,6 +1189,225 @@ object SparkEntry {
         |       ELSE h.postcalb_discharge_cms / m.calb_coef_manual END AS discharge_cms,
         |  CASE WHEN m.calb_coef_manual IS NOT NULL THEN 1 ELSE 0 END AS calb_applied
         |FROM ht92 h LEFT JOIN man m ON h.feature_id = m.feature_id""".stripMargin),
+
+    "q95_alpha_by_hydroid" -> {
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      val tot = "CAST(tn + fn + fp + tp AS DOUBLE)"
+      val aref = s"(${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) / $tot"
+      val combos = graft.ops.Agreement.MasterCombos.map { case (src, mag, k, w, t) =>
+        val tSql = if (t == 0.5) "CAST(0.5 AS DOUBLE)" else "CAST(0.0 AS DOUBLE)"
+        s"('$src', '$mag', $k, $w, $tSql)"
+      }.mkString(", ")
+      withCtes(pts, asg, ht, fc, stg, til, mos,
+        s"""cmb AS (SELECT * FROM (VALUES $combos) v(bench, mag, k, w, t))""",
+        """mcn AS (
+          |  SELECT cell, depth_max,
+          |    ((cell // 268435456) % 268435456) AS crow, (cell % 268435456) AS ccol,
+          |    (((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS clat,
+          |    ((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS clng
+          |  FROM mos
+          |)""".stripMargin,
+        s"""agh AS (
+           |  SELECT CAST(floor((clat + 90.0) / 1.25) AS BIGINT) * 144
+           |           + CAST(floor((clng + 180.0) / 2.5) AS BIGINT) AS hydroid,
+           |    bench, mag,
+           |    CASE WHEN (crow * 29 + ccol * 13) % 50 = 0 THEN 4
+           |         ELSE (CASE WHEN depth_max > t THEN 1 ELSE 0 END) * 2
+           |              + CASE WHEN (crow * 31 + ccol * 17 + k) % 10 < w THEN 1 ELSE 0 END
+           |    END AS agreement
+           |  FROM mcn CROSS JOIN cmb
+           |)""".stripMargin,
+        s"""c95 AS (
+           |  SELECT hydroid, $huc8FromHydroid AS huc8, bench, mag,
+           |    count(CASE WHEN agreement = 0 THEN 1 END) AS tn,
+           |    count(CASE WHEN agreement = 1 THEN 1 END) AS fn,
+           |    count(CASE WHEN agreement = 2 THEN 1 END) AS fp,
+           |    count(CASE WHEN agreement = 3 THEN 1 END) AS tp,
+           |    count(CASE WHEN agreement = 4 THEN 1 END) AS masked
+           |  FROM agh GROUP BY hydroid, bench, mag
+           |)""".stripMargin)(
+        s"""SELECT hydroid, huc8, bench, mag, tn, fn, fp, tp, masked,
+           |  $tot * CAST(100.0 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS contingency_tot_area_km2,
+           |  CASE WHEN ${d("tp")} + ${d("fp")} + ${d("fn")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fp")} + ${d("fn")}) END AS csi,
+           |  CASE WHEN ${d("tp")} + ${d("fp")} <> 0 THEN ${d("fp")} / (${d("tp")} + ${d("fp")}) END AS far,
+           |  CASE WHEN ${d("tp")} + ${d("fn")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fn")}) END AS tpr,
+           |  CASE WHEN ${d("tn")} + ${d("fp")} <> 0 THEN ${d("tn")} / (${d("tn")} + ${d("fp")}) END AS tnr,
+           |  CASE WHEN ${d("tp")} + ${d("fp")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fp")}) END AS ppv,
+           |  CASE WHEN ${d("tn")} + ${d("fn")} <> 0 THEN ${d("tn")} / (${d("tn")} + ${d("fn")}) END AS npv,
+           |  CASE WHEN (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) <> 0
+           |       THEN (${d("tp")} / (${d("tp")} + ${d("fn")}) + ${d("tn")} / (${d("tn")} + ${d("fp")})) / CAST(2.0 AS DOUBLE) END AS bal_acc,
+           |  CASE WHEN (${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) * (${d("tn")} + ${d("fn")}) <> 0
+           |       THEN (${d("tp")} * ${d("tn")} - ${d("fp")} * ${d("fn")})
+           |            / sqrt((${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) * (${d("tn")} + ${d("fn")})) END AS mcc,
+           |  CASE WHEN ${d("tp")} + ${d("fp")} + ${d("fn")} - $aref <> 0
+           |       THEN (${d("tp")} - $aref) / (${d("tp")} + ${d("fp")} + ${d("fn")} - $aref) END AS equitable_threat_score,
+           |  (${d("tp")} + ${d("fn")}) / $tot AS prevalence,
+           |  CASE WHEN ${d("tp")} + ${d("fn")} <> 0 THEN (${d("tp")} + ${d("fp")}) / (${d("tp")} + ${d("fn")}) END AS bias,
+           |  CASE WHEN ${d("tp")} * 2 + ${d("fp")} + ${d("fn")} <> 0 THEN ${d("tp")} * 2 / (${d("tp")} * 2 + ${d("fp")} + ${d("fn")}) END AS f1_score,
+           |  ${d("masked")} / ($tot + ${d("masked")}) * 100 AS masked_perc
+           |FROM c95 WHERE tn + fn + fp + tp > 0""".stripMargin)
+    },
+
+    "q96_crosswalk_eval" -> withCtes(net,
+      """xwk AS (
+        |  SELECT hydroid, huc8, to_node,
+        |    CASE WHEN hydroid % 11 = 3 AND to_node >= 0 THEN to_node
+        |         ELSE hydroid END + 1000000 AS xw_fid
+        |  FROM net
+        |)""".stripMargin,
+      "upa AS (SELECT to_node AS hydroid, hydroid AS up_id FROM net WHERE to_node >= 0)",
+      """ixn AS (
+        |  SELECT huc8, hydroid, xw_fid, hydroid + 1000000 AS cand_fid, 2 AS ipts FROM xwk
+        |  UNION ALL
+        |  SELECT huc8, hydroid, xw_fid, to_node + 1000000 AS cand_fid, 1 AS ipts
+        |  FROM xwk WHERE to_node >= 0
+        |  UNION ALL
+        |  SELECT x.huc8, x.hydroid, x.xw_fid, u.up_id + 1000000 AS cand_fid, 1 AS ipts
+        |  FROM xwk x JOIN upa u ON u.hydroid = x.hydroid
+        |)""".stripMargin,
+      """mm1 AS (
+        |  SELECT huc8,
+        |    count(CASE WHEN (cand_fid = xw_fid) = (ipts = 2) THEN 1 END) AS correct,
+        |    count(*) AS total
+        |  FROM ixn GROUP BY huc8
+        |)""".stripMargin,
+      """ufl AS (
+        |  SELECT x.hydroid, list_sort(list(DISTINCT x2.xw_fid)) AS upstream_fids
+        |  FROM xwk x JOIN upa u ON u.hydroid = x.hydroid
+        |             JOIN xwk x2 ON x2.hydroid = u.up_id
+        |  GROUP BY x.hydroid
+        |)""".stripMargin,
+      """nfl AS (
+        |  SELECT hydroid + 1000000 AS fid,
+        |    list_sort(list(DISTINCT up_id + 1000000)) AS nwm_fids
+        |  FROM upa GROUP BY hydroid
+        |)""".stripMargin,
+      """stt AS (
+        |  SELECT x.huc8,
+        |    CASE WHEN uf.upstream_fids IS NULL THEN 3
+        |         WHEN list_contains(uf.upstream_fids, x.xw_fid) THEN -1
+        |         WHEN uf.upstream_fids = COALESCE(nf.nwm_fids, CAST([] AS BIGINT[])) THEN 0
+        |         ELSE 1 END AS status
+        |  FROM xwk x LEFT JOIN ufl uf ON uf.hydroid = x.hydroid
+        |             LEFT JOIN nfl nf ON nf.fid = x.xw_fid
+        |)""".stripMargin,
+      """mm2 AS (
+        |  SELECT huc8, count(CASE WHEN status = 0 THEN 1 END) AS correct,
+        |    count(*) AS total
+        |  FROM stt WHERE status >= 0 GROUP BY huc8
+        |)""".stripMargin)(
+      """SELECT huc8, 'intersections' AS method, correct, total,
+        |  CAST(correct AS DOUBLE) / CAST(total AS DOUBLE) AS proportion FROM mm1
+        |UNION ALL
+        |SELECT huc8, 'network' AS method, correct, total,
+        |  CAST(correct AS DOUBLE) / CAST(total AS DOUBLE) AS proportion FROM mm2""".stripMargin),
+
+    "q97_ras2fim_rating" -> withCtes(
+      """c97 AS (
+        |  SELECT hydroid, stage,
+        |    (hydroid % 9 + 2) * stage
+        |      + ((hydroid % 4) * CAST(0.3 AS DOUBLE) + CAST(0.4 AS DOUBLE)) * stage * stage AS q_ras,
+        |    stage - CAST(0.25 AS DOUBLE) AS hand
+        |  FROM (SELECT h.hydroid, s.i * CAST(0.3048 AS DOUBLE) AS stage
+        |        FROM (SELECT a.x * 144 + b.x AS hydroid
+        |              FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)) h,
+        |             generate_series(0, 83) s(i))
+        |  WHERE hydroid % 31 = 5 AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """r97 AS (
+        |  SELECT hydroid,
+        |    ['2_0_year','5_0_year','10_0_year','25_0_year','50_0_year'][k.k + 1] AS nwm_recur,
+        |    (((hydroid * 37 + 19) % 3000) / 10.0 + CAST(10.0 AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) + k.k * CAST(0.8 AS DOUBLE)) AS nwm_recur_flow_cms
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x)),
+        |       generate_series(0, 4) k(k)
+        |  WHERE hydroid % 31 = 5 AND hydroid % 97 <> 0
+        |)""".stripMargin,
+      """j97 AS (
+        |  SELECT c.hydroid, r.nwm_recur, r.nwm_recur_flow_cms, c.stage, c.hand, c.q_ras,
+        |    row_number() OVER (PARTITION BY c.hydroid, r.nwm_recur
+        |      ORDER BY abs(c.q_ras - r.nwm_recur_flow_cms), c.stage) AS rn
+        |  FROM c97 c JOIN r97 r ON c.hydroid = r.hydroid
+        |)""".stripMargin)(
+      s"""SELECT 'xs_' || CAST(hydroid AS VARCHAR) AS location_id, hydroid,
+         |  hydroid + 1000000 AS feature_id, $huc8FromHydroid AS huc8,
+         |  nwm_recur, hand, q_ras AS discharge_cms, nwm_recur_flow_cms,
+         |  abs((q_ras - nwm_recur_flow_cms) / q_ras) AS check_variance
+         |FROM j97
+         |WHERE rn = 1 AND hand > CAST(0.0 AS DOUBLE)
+         |  AND abs((q_ras - nwm_recur_flow_cms) / q_ras) < CAST(0.1 AS DOUBLE)""".stripMargin),
+
+    "q98_continuity" -> withCtes(
+      """net98 AS (
+        |  SELECT hydroid,
+        |    lpad(CAST(CAST(floor(floor(hydroid / 144) / 8) * 18 + floor((hydroid % 144) / 8) AS BIGINT) AS VARCHAR), 8, '0') AS huc8,
+        |    CAST(CASE WHEN (CAST(floor(hydroid / 144) AS BIGINT) % 8) = 0 THEN -1
+        |         ELSE (CAST(floor(hydroid / 144) AS BIGINT) - 1) * 144 + (hydroid % 144)
+        |              - (hydroid % 8) + CAST(floor((hydroid % 8) / 2) AS BIGINT)
+        |    END AS BIGINT) AS to_node
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x))
+        |)""".stripMargin,
+      """flw AS (
+        |  SELECT hydroid, huc8, to_node,
+        |    CASE WHEN (hydroid + 1000000) % 5 <> 2
+        |         THEN ((hydroid + 1000000) * 53 + 7) % 9000 ELSE 0 END AS qt
+        |  FROM net98
+        |)""".stripMargin,
+      """upq AS (
+        |  SELECT to_node AS hydroid, sum(qt) AS exp_tenths, count(*) AS n_up
+        |  FROM flw WHERE to_node >= 0 GROUP BY to_node
+        |)""".stripMargin)(
+      """SELECT f.hydroid, f.huc8, u.n_up,
+        |  f.qt / 10.0 AS discharge,
+        |  u.exp_tenths / 10.0 AS expected_discharge,
+        |  f.qt / 10.0 - u.exp_tenths / 10.0 AS diff,
+        |  CASE WHEN abs(f.qt / 10.0) + abs(u.exp_tenths / 10.0) <> 0
+        |       THEN CAST(100.0 AS DOUBLE) * abs(f.qt / 10.0 - u.exp_tenths / 10.0)
+        |            / (abs(f.qt / 10.0) + abs(u.exp_tenths / 10.0)) END AS sape,
+        |  CASE WHEN f.qt / 10.0 = 0.0 THEN 1 ELSE 0 END AS no_flow
+        |FROM flw f JOIN upq u ON f.hydroid = u.hydroid
+        |WHERE u.n_up > 1""".stripMargin),
+
+    "q99_backpool" -> withCtes(pts, asg, net,
+      s"""cnt99 AS (
+         |  SELECT hydroid, $huc8FromHydroid AS huc8, count(*) AS n_pts
+         |  FROM asg GROUP BY hydroid
+         |)""".stripMargin,
+      """st99 AS (
+        |  SELECT huc8, count(*) AS n_cat, sum(n_pts) AS sum_n,
+        |    sum(n_pts * n_pts) AS sum_sq
+        |  FROM cnt99 GROUP BY huc8
+        |)""".stripMargin,
+      """sd99 AS (
+        |  SELECT huc8,
+        |    CAST(sum_n AS DOUBLE) / CAST(n_cat AS DOUBLE) AS mean_pts,
+        |    CASE WHEN n_cat > 1
+        |         THEN sqrt(CAST(n_cat * sum_sq - sum_n * sum_n AS DOUBLE)
+        |                   / CAST(n_cat * (n_cat - 1) AS DOUBLE)) END AS std_pts
+        |  FROM st99
+        |)""".stripMargin,
+      """ot99 AS (
+        |  SELECT n.hydroid, n.huc8, n.length_km,
+        |    CAST(0.001 AS DOUBLE) + (n.hydroid % 11) * CAST(0.0005 AS DOUBLE) AS slope,
+        |    c.n_pts, s.mean_pts, s.std_pts,
+        |    CASE WHEN abs(CAST(c.n_pts AS DOUBLE) - s.mean_pts) > s.std_pts
+        |         THEN 1 ELSE 0 END AS flagged
+        |  FROM net n
+        |    JOIN cnt99 c ON c.hydroid = n.hydroid AND c.huc8 = n.huc8
+        |    JOIN sd99 s ON s.huc8 = n.huc8
+        |  WHERE n.to_node = -1
+        |)""".stripMargin)(
+      """SELECT hydroid, huc8, n_pts, mean_pts, std_pts, flagged, length_km,
+        |  CASE WHEN flagged = 1 THEN length_km * CAST(0.75 AS DOUBLE)
+        |       ELSE length_km END AS trimmed_length_km,
+        |  slope,
+        |  CASE WHEN flagged = 1
+        |       THEN greatest(slope * length_km / (length_km * CAST(0.75 AS DOUBLE)),
+        |                     CAST(0.002 AS DOUBLE))
+        |       ELSE slope END AS slope_adj
+        |FROM ot99""".stripMargin),
 
     "q91_bridge_flows" -> {
       def interpSql(t: String): String =

@@ -192,6 +192,81 @@ object Agreement {
     counted.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Per-catchment alpha metrics (q95) — the "FIM Performance" layer,
+    * `tools/test_case_by_hydro_id.py:29-34` (docstring: "approximately 20 to
+    * 32 hours to complete"), `:45-50` (zonal_stats of the agreement raster
+    * per catchment polygon), `:57-133` (`compute_stats_from_contingency_
+    * table` per HydroID), `:203-283` (drive over benchmark × magnitude).
+    *
+    * The reference rasterizes every catchment polygon against every
+    * agreement raster for every (benchmark, magnitude) combo, serially per
+    * HUC. Here the whole workload is ONE plan: the zonal key (owning
+    * catchment of each cell centroid) comes from the broadcast PIP join the
+    * engine already uses for points, all 4 combos × 5 agreement classes
+    * become conditional counts in a single partial-aggregating HashAggregate
+    * keyed on hydroid, and the melt + metric algebra is per-row expression
+    * work on the counted rows (one row per catchment × combo).
+    *
+    * Metric semantics follow the reference exactly: a metric whose
+    * denominator is zero is NA (`compute_stats_from_contingency_table`
+    * returns 'NA' on ZeroDivisionError) → NULL here, and catchment×combo
+    * groups with an all-masked/empty contingency total are dropped
+    * (`test_case_by_hydro_id.py:86-88`). cell_area defaults to the
+    * reference's 100 m² (10 m pixels, `:92`). */
+  def alphaByHydroId(spark: SparkSession, mosaic: DataFrame,
+      cellAreaM2: Double = 100.0): DataFrame = {
+    import graft.geo.Cells
+    val withGeo = mosaic
+      .withColumn("lat", Cells.centroidLatCol(col("cell"), Cells.BaseRes))
+      .withColumn("lng", Cells.centroidLngCol(col("cell"), Cells.BaseRes))
+      .withColumn("ccell", Cells.cellToParentCol(col("cell"), Cells.BaseRes, Cells.CoarseRes))
+    val assigned = SpatialJoin.assign(withGeo, graft.synth.Synth.catchmentCover(spark))
+    val countExprs = MasterCombos.flatMap { case (src, mag, k, w, t) =>
+      val agr = comboAgreement(col("cell"), col("depth_max"), k, w, t)
+      (0 to 4).map(c => count(when(agr === c, 1)).as(s"c${c}_${src}_$mag"))
+    }
+    val counted = assigned
+      .groupBy(col("hydroid").cast("long").as("hydroid"), col("huc8"))
+      .agg(countExprs.head, countExprs.tail: _*)
+    val rows = MasterCombos.map { case (src, mag, _, _, _) =>
+      def c(i: Int) = col(s"c${i}_${src}_$mag")
+      struct(lit(src).as("bench"), lit(mag).as("mag"), c(0).as("tn"),
+        c(1).as("fn"), c(2).as("fp"), c(3).as("tp"), c(4).as("masked"))
+    }
+    val melted = counted
+      .select(col("hydroid"), col("huc8"), explode(array(rows: _*)).as("r"))
+      .select(col("hydroid"), col("huc8"), col("r.*"))
+      .filter(col("tn") + col("fn") + col("fp") + col("tp") > 0)
+    val tp = col("tp").cast("double"); val tn = col("tn").cast("double")
+    val fp = col("fp").cast("double"); val fn = col("fn").cast("double")
+    val totD = (col("tn") + col("fn") + col("fp") + col("tp")).cast("double")
+    val aref = (tp + fp) * (tp + fn) / totD
+    // NA (NULL) when the metric's denominator is zero — identical guard
+    // conditions in the oracle, so both engines agree bit-for-bit
+    melted.select(
+      col("hydroid"), col("huc8"), col("bench"), col("mag"),
+      col("tn"), col("fn"), col("fp"), col("tp"), col("masked"),
+      (totD * lit(cellAreaM2) / lit(1000000.0)).as("contingency_tot_area_km2"),
+      when(tp + fp + fn =!= 0.0, tp / (tp + fp + fn)).as("csi"),
+      when(tp + fp =!= 0.0, fp / (tp + fp)).as("far"),
+      when(tp + fn =!= 0.0, tp / (tp + fn)).as("tpr"),
+      when(tn + fp =!= 0.0, tn / (tn + fp)).as("tnr"),
+      when(tp + fp =!= 0.0, tp / (tp + fp)).as("ppv"),
+      when(tn + fn =!= 0.0, tn / (tn + fn)).as("npv"),
+      when((tp + fn) * (tn + fp) =!= 0.0,
+        (tp / (tp + fn) + tn / (tn + fp)) / lit(2.0)).as("bal_acc"),
+      when((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) =!= 0.0,
+        (tp * tn - fp * fn) /
+          sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))).as("mcc"),
+      when(tp + fp + fn - aref =!= 0.0,
+        (tp - aref) / (tp + fp + fn - aref)).as("equitable_threat_score"),
+      ((tp + fn) / totD).as("prevalence"),
+      when(tp + fn =!= 0.0, (tp + fp) / (tp + fn)).as("bias"),
+      when(tp * 2 + fp + fn =!= 0.0, tp * 2 / (tp * 2 + fp + fn)).as("f1_score"),
+      (col("masked").cast("double") / (totD + col("masked").cast("double")) * 100)
+        .as("masked_perc"))
+  }
+
   /** The 7 headline metric names in [[metricCols]] order, with each stat's
     * regression orientation: +1 bigger-is-better, −1 smaller-is-better,
     * 0 closer-to-one-is-better (bias). */

@@ -429,6 +429,58 @@ object Calibration {
           .as("calb_coef_usgs"))
   }
 
+  /** ras2fim rating-curve calibration database (q97) —
+    * `src/src_adjust_ras2fim_rating.py:50-202`
+    * (`create_ras2fim_rating_database`): HEC-RAS cross-section rating curves
+    * (location_id, discharge, WSE) are crosswalked to catchments, converted
+    * to HAND stage (`hand = wse − hand_datum`, `:90`), sampled at each NWM
+    * recurrence-interval flow by picking the curve row whose discharge is
+    * CLOSEST to the recurrence flow (`Q_find` argmin per (location,
+    * levelpath) × interval, `:144-147` — an as-of join, not interpolation),
+    * then quality-gated: negative HAND rows are dropped (`:174-176`) and so
+    * are rows where the nearest curve flow differs from the NWM flow by more
+    * than 10 % (`check_variance`, `:149-152,180-183`).
+    *
+    * Synthetic sources: every 31st non-lake catchment carries a ras2fim
+    * cross-section whose curve is a second Manning parameterization of the
+    * engine's stage ladder with `hand = stage − 0.25` (so the stage-0 knot
+    * exercises the negative-HAND gate); recurrence flows are the 5-interval
+    * family. Scale shape: the recurrence dimension broadcasts into the knot
+    * scan; the argmin is one partial-aggregating min(struct) per (location,
+    * interval); every join is keyed on the location grain. */
+  def ras2fimRating(spark: SparkSession): DataFrame = {
+    val xs = col("hydroid") % 31 === 5 && col("hydroid") % 97 =!= 0
+    val curve = Synth.hydrotable(spark).filter(xs)
+      .select(col("hydroid"), col("stage"),
+        ((col("hydroid") % 9 + 2) * col("stage")
+          + ((col("hydroid") % 4) * lit(0.3) + lit(0.4)) * col("stage") * col("stage"))
+          .as("q_ras"),
+        (col("stage") - lit(0.25)).as("hand"))
+    val recurr = spark.range(0, (Synth.CatRows * Synth.CatCols).toLong)
+      .select(col("id").as("hydroid")).filter(xs)
+      .withColumn("k", explode(sequence(lit(0), lit(4))))
+      .select(col("hydroid"), col("k"),
+        element_at(array(lit("2_0_year"), lit("5_0_year"), lit("10_0_year"),
+          lit("25_0_year"), lit("50_0_year")), col("k").cast("int") + 1).as("nwm_recur"),
+        ((((col("hydroid") * 37 + 19) % 3000) / lit(10.0) + lit(10.0))
+          * (lit(1.0) + col("k") * lit(0.8))).as("nwm_recur_flow_cms"))
+    curve.join(broadcast(recurr), "hydroid")
+      .withColumn("qdiff", abs(col("q_ras") - col("nwm_recur_flow_cms")))
+      .groupBy(col("hydroid"), col("nwm_recur"), col("nwm_recur_flow_cms"))
+      .agg(min(struct(col("qdiff"), col("stage"), col("hand"), col("q_ras"))).as("m"))
+      .withColumn("check_variance",
+        abs((col("m.q_ras") - col("nwm_recur_flow_cms")) / col("m.q_ras")))
+      .filter(col("m.hand") > 0.0 && col("check_variance") < 0.1)
+      .select(concat(lit("xs_"), col("hydroid")).as("location_id"),
+        col("hydroid"), (col("hydroid") + 1000000L).as("feature_id"),
+        lpad((floor(floor(col("hydroid") / 144) / 8) * 18
+          + floor((col("hydroid") % 144) / 8)).cast("long").cast("string"), 8, "0")
+          .as("huc8"),
+        col("nwm_recur"), col("m.hand").as("hand"),
+        col("m.q_ras").as("discharge_cms"), col("nwm_recur_flow_cms"),
+        col("check_variance"))
+  }
+
   /** Manual calibration overrides (q92) — `src/src_manual_calibration.py:
     * 50-128`: an operator-supplied (feature_id, coefficient) table is merged
     * over the hydrotable; where a coefficient exists the published discharge

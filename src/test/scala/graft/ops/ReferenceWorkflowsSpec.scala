@@ -82,6 +82,113 @@ class ReferenceWorkflowsSpec extends SparkTestBase {
     }
   }
 
+  test("alpha by hydroid: cell conservation per combo, NA guards, bounded metrics") {
+    val mosaic = Inundate.run(spark, sf0001).cache()
+    val rows = Agreement.alphaByHydroId(spark, mosaic).collect()
+    assert(rows.nonEmpty)
+    // every kept group has a positive contingency total (reference drops
+    // tot_pop == 0 groups)
+    rows.foreach { r =>
+      val tot = r.getAs[Long]("tn") + r.getAs[Long]("fn") +
+        r.getAs[Long]("fp") + r.getAs[Long]("tp")
+      assert(tot > 0)
+      val csi = r.getAs[java.lang.Double]("csi")
+      if (csi != null) assert(csi >= 0.0 && csi <= 1.0)
+      val mp = r.getAs[Double]("masked_perc")
+      assert(mp >= 0.0 && mp <= 100.0)
+    }
+    // conservation: per combo, the per-catchment contingency totals must sum
+    // to the number of non-masked cells in the mosaic (each cell belongs to
+    // exactly one catchment)
+    val combo = rows.filter(r => r.getAs[String]("bench") == "ble" &&
+      r.getAs[String]("mag") == "100yr")
+    val sumTot = combo.map(r => r.getAs[Long]("tn") + r.getAs[Long]("fn") +
+      r.getAs[Long]("fp") + r.getAs[Long]("tp")).sum
+    val (_, _, k, w, t) = Agreement.MasterCombos.head
+    val nonMasked = mosaic.filter(
+      Agreement.comboAgreement(col("cell"), col("depth_max"), k, w, t) =!= 4).count()
+    assert(sumTot == nonMasked, s"conservation broke: $sumTot != $nonMasked")
+    mosaic.unpersist()
+  }
+
+  test("crosswalk eval: both methods per huc, error injection measurably below 1.0") {
+    val rows = NetworkEval.crosswalkEval(spark).collect()
+    assert(rows.length == 18 * 18 * 2) // every HUC × {intersections, network}
+    rows.foreach { r =>
+      val c = r.getAs[Long]("correct"); val tot = r.getAs[Long]("total")
+      assert(c >= 0 && c <= tot && tot > 0)
+      assert(r.getAs[Double]("proportion") == c.toDouble / tot.toDouble)
+    }
+    def overall(m: String) = {
+      val rs = rows.filter(_.getAs[String]("method") == m)
+      rs.map(_.getAs[Long]("correct")).sum.toDouble / rs.map(_.getAs[Long]("total")).sum
+    }
+    // the injected ~9% error must be visible to BOTH methods, but most of
+    // the crosswalk is correct
+    assert(overall("intersections") < 1.0 && overall("intersections") > 0.5)
+    assert(overall("network") < 1.0 && overall("network") > 0.3)
+  }
+
+  test("ras2fim rating: gates hold and the selected knot is truly the nearest") {
+    val rows = Calibration.ras2fimRating(spark).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("hand") > 0.0)
+      assert(r.getAs[Double]("check_variance") < 0.1)
+      assert(r.getAs[String]("location_id") == s"xs_${r.getAs[Long]("hydroid")}")
+    }
+    // nearest-knot property, recomputed independently for a sample
+    rows.take(20).foreach { r =>
+      val h = r.getAs[Long]("hydroid"); val f = r.getAs[Double]("nwm_recur_flow_cms")
+      val qs = (0 until 84).map { i =>
+        val s = i * 0.3048
+        (h % 9 + 2) * s + ((h % 4) * 0.3 + 0.4) * s * s
+      }
+      val bestDiff = qs.map(q => math.abs(q - f)).min
+      assert(math.abs(r.getAs[Double]("discharge_cms") - f) == bestDiff)
+    }
+  }
+
+  test("continuity: every row is a 2-way confluence with an exact upstream sum") {
+    val rows = NetworkEval.continuity(spark).collect()
+    assert(rows.length == 18 * 18 * 7 * 4) // 7 receiving rows × 4 merge columns per HUC
+    val qtOf = (h: Long) =>
+      if ((h + 1000000L) % 5 != 2) ((h + 1000000L) * 53 + 7) % 9000 else 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_up") == 2)
+      val h = r.getAs[Long]("hydroid")
+      // recompute the two upstream contributors from the merge topology
+      val rr = h / 144; val c = h % 144; val lc = c % 8
+      val ups = (0 until 8).filter(u => u / 2 == lc)
+        .map(u => (rr + 1) * 144 + (c - lc) + u)
+      assert(ups.length == 2)
+      assert(r.getAs[Double]("expected_discharge") == ups.map(qtOf).sum / 10.0)
+      val sape = r.getAs[java.lang.Double]("sape")
+      if (r.getAs[Double]("discharge") == 0.0 &&
+          r.getAs[Double]("expected_discharge") == 0.0)
+        assert(sape == null)
+      else assert(sape != null && sape >= 0.0 && sape <= 200.0)
+    }
+  }
+
+  test("backpool: outlier flag from exact integer stats; trim/clamp only when flagged") {
+    val rows = NetworkEval.backpool(spark, Synth.points(spark, sf0001)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Int]("flagged") == 1), "scene exercises the trim path")
+    assert(rows.exists(_.getAs[Int]("flagged") == 0))
+    rows.foreach { r =>
+      val len = r.getAs[Double]("length_km")
+      if (r.getAs[Int]("flagged") == 1) {
+        assert(r.getAs[Double]("trimmed_length_km") == len * 0.75)
+        assert(r.getAs[Double]("slope_adj") >= 0.002)
+        assert(r.getAs[Double]("slope_adj") >= r.getAs[Double]("slope"))
+      } else {
+        assert(r.getAs[Double]("trimmed_length_km") == len)
+        assert(r.getAs[Double]("slope_adj") == r.getAs[Double]("slope"))
+      }
+    }
+  }
+
   test("manual calibration: coef < 1 raises discharge, > 1 lowers, null passes through") {
     val rows = Calibration.manualCalibration(spark)
       .filter(col("stage") > 0).limit(50000).collect()
