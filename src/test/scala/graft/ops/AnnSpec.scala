@@ -94,6 +94,38 @@ class AnnSpec extends SparkTestBase {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) =>
       assert(b >= a, s"recall fell as nProbe grew: $curve")
     }
+
+    // ROUND-4 TUNING VERDICT (full grid: graft.tools.IvfTune — seeding
+    // {id-subset, kmeans++ farthest-first} × Lloyd rounds {0,3,8} × lists
+    // {20,40} × nProbe {1,2,3,4,6}): the best 10%-scan config is C=40,
+    // id-subset seed + 3 Lloyd rounds, nProbe=4 → recall@5 = 0.525; kmeans++
+    // seeding converges into the same 0.45-0.48 band, and 0.6 recall needs
+    // ≥ 15-20% of the corpus scanned regardless of seeding or rounds. The
+    // weakly-clustered synthetic embeddings (neighbor cos ≈ 0.4) scatter
+    // true neighborhoods across lists — a data property, not a plan defect.
+    // VERDICT: multi-table SRP (recall 0.95 at comparable budget) is the
+    // production ANN path; IVF stays a correct, plan-shape-sound COMPARISON
+    // BASELINE. This assert pins the tuned band so a regression is visible.
+    val tuned = recallOf(AnnSearch.ivfTopKWith(
+      embBig,
+      AnnSearch.kmeansIterateFrom(embBig, AnnSearch.trainedCentroids(embBig), 3),
+      5, nProbe = 4).collect())
+    info(s"IVF best-at-10%-scan (C=40, 3 rounds, nProbe=4): recall@5 = $tuned")
+    assert(tuned >= 0.45, s"tuned IVF fell below its recorded band: $tuned")
+  }
+
+  test("kmeans++ seeding: deterministic, C distinct spread-out centroids") {
+    val s1 = AnnSearch.seedCentroidsPP(emb, c = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val s2 = AnnSearch.seedCentroidsPP(emb, c = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(s1.toSet == s2.toSet, "seeding is not deterministic")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(s1.map(_._1).distinct.length == 10)
+    assert(s1.length == 10 * dim)
+    // farthest-first must pick DIFFERENT directions: no two seeds identical
+    val byCid = s1.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byCid.values.toSeq.distinct.length == 10, "duplicate seed centroid")
   }
 
   test("SRP buckets: clones of the same vector share a bucket; buckets bounded") {
@@ -107,6 +139,21 @@ class AnnSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val common = pairCos.keySet.intersect(brute.keySet)
     common.foreach(k => assert(pairCos(k) == brute(k)))
+  }
+
+  test("near-dup pairs artifact: builder read-back == inline chain, reports read it") {
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline0 = asSet(AnnSearch.nearDupPairs(emb).collect())
+    val built = asSet(AnnSearch.writeNearDupPairs(emb, sf0001).collect())
+    assert(built == inline0, "artifact read-back diverged from the inline chain")
+    val path = AnnSearch.nearDupPairsArtifactPath(sf0001, emb.count())
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+    // the report path must hit the artifact (bit-identical), and still work
+    // standalone when the artifact is absent
+    assert(asSet(AnnSearch.readNearDupPairs(emb, sf0001).collect()) == inline0)
+    val orphanDir = sf0001 + "_no_artifact"
+    assert(asSet(AnnSearch.readNearDupPairs(emb, orphanDir).collect()) == inline0)
   }
 
   test("near-dup candidate generation is sub-quadratic: 4x corpus => ~4x pairs, +2 bits") {
