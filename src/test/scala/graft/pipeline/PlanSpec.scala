@@ -176,6 +176,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), "reach×gage join should broadcast the gage dim")
   }
 
+  test("alpha-by-hydroid: one fact scan, two exchanges, all dims broadcast, partial counts") {
+    // the reference's 20-32 h per-catchment workload must stay: scan →
+    // broadcast PIP/stage joins → mosaic exchange (cell) → broadcast zonal
+    // PIP → ONE more exchange (hydroid grouping) → melt. Anything beyond two
+    // hash exchanges or any SMJ means the 100 TB shape regressed.
+    val plan = physical(graft.ops.Agreement.alphaByHydroId(
+      spark, Inundate.run(spark, sf0001)))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "alpha metrics scan the fact table more than once:\n" + plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count"), "combo counts lost map-side combine")
+  }
+
   test("compaction plan: single-partition window only AFTER the manifest-scale agg") {
     val plan = physical(Maintenance.hucCompactionPlan(spark, sf0001))
     // the one SinglePartition exchange sits above the per-huc8 aggregate
