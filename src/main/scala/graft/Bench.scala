@@ -26,20 +26,26 @@ object Bench {
   /** Web corpus multiplied `m`× (m ≤ 312): distinct doc_ids and a per-copy
     * AFFINE-permuted alphabet (x → a·x + b mod 26, a coprime to 26 — the
     * classical affine cipher; 12 units × 26 shifts = 312 distinct
-    * permutations, pairwise agreeing on ≤ 1 letter so no 8-gram of distinct
-    * letters can collide across shards), making the copies m INDEPENDENT
-    * shards of the same duplicate distribution — each shard replicates the
-    * base corpus's engineered clone structure but shares no shingles across
-    * shards. Every dedup-family operator therefore scales LINEARLY on it
-    * (an exact-copy explode would instead manufacture m-sized duplicate
-    * cliques and quadratic pair counts the real crawl doesn't have).
-    * Shards 0–25 (a = 1) reproduce the old pure-rotation scheme exactly. */
+    * permutations), making the copies m INDEPENDENT shards of the same
+    * duplicate distribution — each shard replicates the base corpus's
+    * engineered clone structure but shares (essentially) no shingles across
+    * shards: two distinct affine maps agree on at most 2 letters (same a →
+    * 0; different a → gcd(a₁−a₂, 26) = 2 ⇒ 0 or 2 fixed points), so a
+    * cross-shard 8-gram collision needs a gram drawn ENTIRELY from a
+    * specific ≤2-letter set (e.g. "anananan") — and even such an isolated
+    * shared shingle cannot become an LSH candidate (a band needs 4
+    * consecutive minhash agreements). Every dedup-family operator therefore
+    * scales LINEARLY on it (an exact-copy explode would instead manufacture
+    * m-sized duplicate cliques and quadratic pair counts the real crawl
+    * doesn't have). Shards 0–25 (a = 1) reproduce the old pure-rotation
+    * scheme exactly. */
   def scaledCorpus(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
     val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25) // coprime to 26
     require(m >= 1 && m <= 26 * units.size,
       s"m=$m: beyond ${26 * units.size} shards the affine-permutation space " +
         "wraps and identical-alphabet shard pairs manufacture cross-shard " +
-        "duplicate cliques")
+        "duplicate cliques (below it, distinct permutations share at most " +
+        "2 fixed letters — no realistic 8-gram collides)")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val base = Synth.corpus(spark, sfDir)
     (0 until m).map { j =>
@@ -129,7 +135,9 @@ object Bench {
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY") // e.g. "dedup" = skip the sweep
     if (only.contains("explain")) {
-      val dmult0 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "16").toInt
+      // same default as the measured leg below — the plan inspected must be
+      // the plan the record ran
+      val dmult0 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "64").toInt
       val df = graft.ops.TextOps.curate(scaledCorpus(spark, sfDir, dmult0))
       df.explain("cost")
       spark.stop(); return
@@ -156,6 +164,17 @@ object Bench {
       scaledCorpus(spark, sfDir, m).write.mode("overwrite").parquet(corpusPath)
       def corpusScaled = spark.read.parquet(corpusPath)
       val nDocs = corpusScaled.count()
+      // Shuffle parallelism sized to the DATA, not the core count — scoped
+      // to the dedup legs, whose input spans 16× between legs: with AQE's
+      // initial partition count raised, each exchange starts wide and AQE
+      // coalesces from MEASURED bytes, so the ×64 leg's ~170M-row shingle
+      // shuffles stop building oversized ShuffledHashJoin maps on `cpus`
+      // fixed partitions (measured as a 0.6-0.8 docs/sec ratio dip on
+      // jaccard/simhash at ×64 — spill, not superlinearity; the AQE-sized
+      // rerun restored them to 1.74/1.44). The sweep/flagship keep the
+      // plain `cpus` config; restored after the leg.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus * 8)
+      try {
       val ops: Seq[(String, () => DataFrame)] = Seq(
         "exact" -> (() => graft.ops.TextOps.exactDupGroups(corpusScaled)),
         "minhash" -> (() => graft.ops.TextOps.minhashWide(corpusScaled)),
@@ -173,11 +192,16 @@ object Bench {
       (nDocs, ops.map { case (nm, f) =>
         nm -> best(() => { f().queryExecution.toRdd.count(); () })
       })
+      } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
     }
     // THREE corpus sizes (×dmult/16, ×dmult/4, ×dmult — default 4/16/64):
     // flat docs/sec between the two LARGEST legs is the linearity evidence
-    // (the tiny→mid ratio mostly shows fixed overhead amortizing)
-    val (docsTiny, secsTiny) = dedupLeg(dmultTiny)
+    // (the tiny→mid ratio mostly shows fixed overhead amortizing). The tiny
+    // leg is skipped when a small SPARK_GRAFT_DEDUP_MULT collapses it onto
+    // the mid leg — rerunning an identical workload twice would only emit a
+    // noise-vs-noise ratio
+    val tinyLeg: Option[(Long, Seq[(String, Double)])] =
+      if (dmultTiny < dmultSmall) Some(dedupLeg(dmultTiny)) else None
     val (docsSmall, secsSmall) = dedupLeg(dmultSmall)
     val (nDocs, dedupSecs) = dedupLeg(dmult)
     def obj(xs: Seq[(String, Double)], f0: Double => String) =
@@ -190,7 +214,6 @@ object Bench {
     val dsec = obj(dedupSecs, v => f"$v%.3f")
     val ddps = obj(dedupSecs, v => dps(nDocs, v))
     val ddpsSmall = obj(secsSmall, v => dps(docsSmall, v))
-    val ddpsTiny = obj(secsTiny, v => dps(docsTiny, v))
     // dps ratio large/small corpus: ~1 = linear cost, >1 = fixed overhead
     // amortizing away, <1 = superlinear cost creeping in
     def ratio(big: Seq[(String, Double)], nBig: Long,
@@ -199,7 +222,11 @@ object Bench {
         k -> (if (vL < 0 || vS < 0) Double.NaN else (nBig / vL) / (nSmall / vS)) },
         v => if (v.isNaN) "null" else f"$v%.2f")
     val dlin = ratio(dedupSecs, nDocs, secsSmall, docsSmall)
-    val dlinSmall = ratio(secsSmall, docsSmall, secsTiny, docsTiny)
+    val tinyJson = tinyLeg.map { case (docsTiny, secsTiny) =>
+      s""","docs_tiny":$docsTiny,"mult_tiny":$dmultTiny""" +
+        s""","docs_per_sec_tiny":${obj(secsTiny, v => dps(docsTiny, v))}""" +
+        s""","dps_ratio_small_over_tiny":${ratio(secsSmall, docsSmall, secsTiny, docsTiny)}"""
+    }.getOrElse("")
 
 
     // only a FULL run may touch the official record — smoke/partial runs
@@ -210,7 +237,7 @@ object Bench {
         java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/last_bench.json"), line + "\n")
       } catch { case _: Throwable => () }
     def jsonLine(qs: String): String =
-      s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":$qs,"dedup":{"docs":$nDocs,"mult":$dmult,"secs":$dsec,"docs_per_sec":$ddps,"docs_small":$docsSmall,"mult_small":$dmultSmall,"docs_per_sec_small":$ddpsSmall,"docs_tiny":$docsTiny,"mult_tiny":$dmultTiny,"docs_per_sec_tiny":$ddpsTiny,"dps_ratio_large_over_small":$dlin,"dps_ratio_small_over_tiny":$dlinSmall},"sf":"$sfDir"}"""
+      s"""{"metric":"flagship pages/sec (rows=$rows, ${cpus} cores, x$mult)","value":${f"$pagesPerSec%.1f"},"unit":"pages/sec","reps":$reps,"queries":$qs,"dedup":{"docs":$nDocs,"mult":$dmult,"secs":$dsec,"docs_per_sec":$ddps,"docs_small":$docsSmall,"mult_small":$dmultSmall,"docs_per_sec_small":$ddpsSmall$tinyJson,"dps_ratio_large_over_small":$dlin},"sf":"$sfDir"}"""
     // provisional record NOW: if the per-query sweep is killed by an outer
     // timeout, the flagship + dedup headlines still survive on disk
     writeRecord(jsonLine("{}"))

@@ -1198,8 +1198,7 @@ object SparkEntry {
       val tot = "CAST(tn + fn + fp + tp AS DOUBLE)"
       val aref = s"(${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) / $tot"
       val combos = graft.ops.Agreement.MasterCombos.map { case (src, mag, k, w, t) =>
-        val tSql = if (t == 0.5) "CAST(0.5 AS DOUBLE)" else "CAST(0.0 AS DOUBLE)"
-        s"('$src', '$mag', $k, $w, $tSql)"
+        s"('$src', '$mag', $k, $w, CAST($t AS DOUBLE))"
       }.mkString(", ")
       withCtes(pts, asg, ht, fc, stg, til, mos,
         s"""cmb AS (SELECT * FROM (VALUES $combos) v(bench, mag, k, w, t))""",

@@ -316,6 +316,32 @@ object AnnSearch {
     cents
   }
 
+  /** Candidate (qvec, vec) pairs an IVF probe reranks, against an arbitrary
+    * centroid table — the first half of [[ivfTopKWith]], exposed standalone
+    * so the tuning sweep can measure the ACTUAL scanned fraction: probed
+    * lists are population-skewed after Lloyd rounds, so the nominal
+    * nProbe/C badly under- or over-states the real rerank cost. */
+  def ivfCandidatesWith(emb: DataFrame, centroids: DataFrame, nProbe: Int = 3,
+      queryMod: Int = 250): DataFrame = {
+    val q = quantized(emb)
+    val cn = centroids.groupBy(col("cid")).agg(sum(col("cq") * col("cq")).as("cn2"))
+    val scores = q.join(broadcast(centroids), "pos")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("q").cast("double") * col("cq")).as("dot"))
+      .join(broadcast(cn), "cid")
+      .withColumn("score", col("dot") / sqrt(col("cn2")))
+    val assign = scores.groupBy(col("vec_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid").asc)
+    val probes = scores.filter(col("vec_id") % queryMod === 0)
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qvec"), col("cid"))
+    probes.join(assign, "cid")
+      .filter(col("qvec") =!= col("vec_id"))
+      .select(col("qvec"), col("vec_id").as("vec")).distinct()
+  }
+
   /** IVF top-k against an ARBITRARY centroid table (cid, pos, cq: double) —
     * the generalized form of [[ivfTopK]] (whose deterministic quantizer is
     * the oracle-checked instance). Same plan shape: broadcast centroids,
@@ -386,8 +412,8 @@ object AnnSearch {
     *    AnnSpec); only degenerate mega-clusters lose recall, and those are
     *    exact-dup territory anyway. */
   def nearDupCandidates(emb: DataFrame, targetBucket: Int = 32, tables: Int = 8,
-      cap: Int = 8): DataFrame = {
-    val nBits = adaptiveBits(emb.count(), targetBucket)
+      cap: Int = 8, nDocs: Long = -1L): DataFrame = {
+    val nBits = adaptiveBits(if (nDocs >= 0) nDocs else emb.count(), targetBucket)
     (0 until tables).map { t =>
       // vec_id tie-break: two vectors colliding mod 1e9+7 in one bucket must
       // rank deterministically (and identically to the SQL oracle)
@@ -413,28 +439,53 @@ object AnnSearch {
     * candidate+cosine table as an artifact and every report reads it. The
     * builder (q49) returns the READ-BACK of what it wrote, so its measured
     * cost is the honest end-to-end build; sibling reports (q94) call
-    * [[readNearDupPairs]] and pay only the artifact scan. */
+    * [[readNearDupPairs]] and pay only the artifact scan.
+    *
+    * Publish is ATOMIC: the pairs land in a staging directory and move into
+    * the live path with one rename, so a crash mid-write can never leave a
+    * torn artifact a later reader would trust ([[readNearDupPairs]] also
+    * requires the committer's _SUCCESS marker). */
   def writeNearDupPairs(emb: DataFrame, sfDir: String): DataFrame = {
-    val path = nearDupPairsArtifactPath(sfDir, emb.count())
-    nearDupPairs(emb).write.mode("overwrite").parquet(path)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val n = emb.count()
+    val path = nearDupPairsArtifactPath(sfDir, n)
+    val staging = path + ".staging"
+    nearDupPairsN(emb, n).write.mode("overwrite").parquet(staging)
+    val live = Paths.get(path)
+    // delete-then-rename: a crash between the two leaves NO live dir, and
+    // the reader falls back to the inline chain
+    if (Files.isDirectory(live)) {
+      Files.walk(live).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.move(Paths.get(staging), live, StandardCopyOption.ATOMIC_MOVE)
     emb.sparkSession.read.parquet(path)
   }
 
   /** Read the persisted pairs artifact; falls back to the inline chain when
-    * no artifact exists (standalone report run). */
+    * no COMMITTED artifact exists (standalone report run, or a torn write —
+    * the _SUCCESS marker gates trust). */
   def readNearDupPairs(emb: DataFrame, sfDir: String): DataFrame = {
-    val path = nearDupPairsArtifactPath(sfDir, emb.count())
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+    val n = emb.count()
+    val path = nearDupPairsArtifactPath(sfDir, n)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
       emb.sparkSession.read.parquet(path)
-    else nearDupPairs(emb)
+    else nearDupPairsN(emb, n)
   }
 
   /** Embedding-cosine near-dup pairs (q49 scale path): adaptive multi-table
     * SRP candidates, then the exact quantized-cosine rerank. Replaces the
     * round-1 fixed-8-bit single-table form whose intra-bucket pair count grew
     * O(n²/256). */
-  def nearDupPairs(emb: DataFrame, targetBucket: Int = 32, tables: Int = 8): DataFrame = {
-    val cand = nearDupCandidates(emb, targetBucket, tables)
+  def nearDupPairs(emb: DataFrame, targetBucket: Int = 32, tables: Int = 8): DataFrame =
+    nearDupPairsN(emb, -1L, targetBucket, tables)
+
+  /** [[nearDupPairs]] with the corpus count supplied by a caller that
+    * already paid for it (the artifact helpers) — avoids a second full
+    * count job per invocation. */
+  private def nearDupPairsN(emb: DataFrame, nDocs: Long,
+      targetBucket: Int = 32, tables: Int = 8): DataFrame = {
+    val cand = nearDupCandidates(emb, targetBucket, tables, nDocs = nDocs)
     val q = quantized(emb).cache()
     val n = norms(q)
     val dots = cand

@@ -451,7 +451,7 @@ object Calibration {
   def ras2fimRating(spark: SparkSession): DataFrame = {
     val xs = col("hydroid") % 31 === 5 && col("hydroid") % 97 =!= 0
     val curve = Synth.hydrotable(spark).filter(xs)
-      .select(col("hydroid"), col("stage"),
+      .select(col("hydroid"), col("huc8"), col("stage"),
         ((col("hydroid") % 9 + 2) * col("stage")
           + ((col("hydroid") % 4) * lit(0.3) + lit(0.4)) * col("stage") * col("stage"))
           .as("q_ras"),
@@ -466,16 +466,14 @@ object Calibration {
           * (lit(1.0) + col("k") * lit(0.8))).as("nwm_recur_flow_cms"))
     curve.join(broadcast(recurr), "hydroid")
       .withColumn("qdiff", abs(col("q_ras") - col("nwm_recur_flow_cms")))
-      .groupBy(col("hydroid"), col("nwm_recur"), col("nwm_recur_flow_cms"))
+      // huc8 is functionally dependent on hydroid — a free extra group key
+      .groupBy(col("hydroid"), col("huc8"), col("nwm_recur"), col("nwm_recur_flow_cms"))
       .agg(min(struct(col("qdiff"), col("stage"), col("hand"), col("q_ras"))).as("m"))
       .withColumn("check_variance",
         abs((col("m.q_ras") - col("nwm_recur_flow_cms")) / col("m.q_ras")))
       .filter(col("m.hand") > 0.0 && col("check_variance") < 0.1)
       .select(concat(lit("xs_"), col("hydroid")).as("location_id"),
-        col("hydroid"), (col("hydroid") + 1000000L).as("feature_id"),
-        lpad((floor(floor(col("hydroid") / 144) / 8) * 18
-          + floor((col("hydroid") % 144) / 8)).cast("long").cast("string"), 8, "0")
-          .as("huc8"),
+        col("hydroid"), (col("hydroid") + 1000000L).as("feature_id"), col("huc8"),
         col("nwm_recur"), col("m.hand").as("hand"),
         col("m.q_ras").as("discharge_cms"), col("nwm_recur_flow_cms"),
         col("check_variance"))

@@ -36,10 +36,14 @@ object IvfTune {
         val centsC = cents.cache(); centsC.count()
         for (p <- Seq(1, 2, 3, 4, 6)) {
           val res = AnnSearch.ivfTopKWith(emb, centsC, 5, nProbe = p).collect()
-          // actual scanned fraction: distinct candidates per query / corpus
-          val scan = p.toDouble / c
+          // MEASURED scanned fraction: distinct rerank candidates per query
+          // over the corpus (probed lists are population-skewed, so the
+          // nominal nProbe/C mis-states the real cost)
+          val nCand = AnnSearch.ivfCandidatesWith(emb, centsC, nProbe = p).count()
+          val scan = nCand.toDouble / (nQ.toDouble * nVec)
+          val nominal = p.toDouble / c
           println(f"[ivftune] C=$c%d seed=$sname%-5s rounds=$rounds%d nProbe=$p%d " +
-            f"scan=$scan%.3f recall@5=${recallOf(res)}%.3f")
+            f"scan=$scan%.3f (nominal=$nominal%.3f) recall@5=${recallOf(res)}%.3f")
         }
         centsC.unpersist()
       }
