@@ -686,6 +686,45 @@ object SparkEntry {
     // flagged (exact integer mean/std), flowline trimmed, slope reclamped
     "q99_backpool" -> ((s, dir) => NetworkEval.backpool(s, Synth.points(s, dir))),
 
+    // AGREE DEM stream burn: distance transform + nearest-value allocation
+    // as block-halo equi-joins, smooth/sharp drop composition
+    "q100_agree_burn" -> ((s, _) => Terrain.agreeBurn(s)),
+
+    // headwater flow accumulation + stream-pixel threshold (accuflux
+    // direction=up) over the MERGE-forming net (the plain reach net's
+    // downstream map is a permutation — accumulation would stay at 1)
+    "q101_accuflux" -> ((s, _) =>
+      Terrain.accuflux(s, NetworkEval.confluenceNet(s))
+        .select(col("huc8"), col("hydroid").cast("long").as("hydroid"),
+          col("flowaccum"), col("stream_pixel"))),
+
+    // REM/HAND detrend: per-catchment thalweg-min elevation applied back
+    // to every cell, nodata where the catchment has no thalweg pixel
+    "q102_rem" -> ((s, dir) =>
+      Terrain.rem(SpatialJoin.assign(s, Synth.points(s, dir)))),
+
+    // SRC finalize: hydraulic columns re-derived + Manning discharge via
+    // the bit-portable Newton x^(2/3) chain, stage-0 zeroed
+    "q103_src_finalize" -> ((s, _) => Calibration.finalizeSrcs(s)),
+
+    // Manning's-N reset + small-segment donor replacement (the in-place
+    // id-ordered loop resolved to a depth-2 closed form)
+    "q104_mannings_reset" -> ((s, _) =>
+      Calibration.resetMannings(s, StreamNet.reaches(s))),
+
+    // unit-error gate: error units counted over the status table, abort
+    // code 62 only past BOTH thresholds (min count AND min percent)
+    "q105_unit_error_gate" -> ((s, dir) =>
+      Inundate.unitStatus(s, Synth.points(s, dir))
+        .agg(count(lit(1)).as("n_units"),
+          count(when(col("status") =!= 0, 1)).as("n_errors"))
+        .select(col("n_units"), col("n_errors"),
+          (col("n_errors").cast("double") / col("n_units").cast("double")
+            * lit(100.0)).as("pct_errors"),
+          when(col("n_errors") > 10
+            && col("n_errors").cast("double") / col("n_units").cast("double")
+               * lit(100.0) >= 10.0, lit(62)).otherwise(lit(0)).as("return_code"))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1410,6 +1449,225 @@ object SparkEntry {
         |                     CAST(0.002 AS DOUBLE))
         |       ELSE slope END AS slope_adj
         |FROM ot99""".stripMargin),
+
+    "q100_agree_burn" -> {
+      // elevation closed form of a decoded gid — exact dyadic doubles
+      def elevSql(gid: String): String =
+        s"((($gid // 144) * 31 + ($gid % 144) * 17) % 400) / CAST(4.0 AS DOUBLE)" +
+          s" + ($gid // 144) / CAST(4.0 AS DOUBLE)"
+      // nearest candidate within Chebyshev 6 as packed min(d2 * 2^20 + gid)
+      def nnSql(probe: String, cand: String, filter: String): String =
+        s"""SELECT g.gid, min(CAST((v.r - g.r) * (v.r - g.r)
+           |    + (v.c - g.c) * (v.c - g.c) AS BIGINT) * 1048576 + v.gid) AS packed
+           |  FROM $probe g JOIN $cand v
+           |    ON $filter
+           |    AND v.r BETWEEN g.r - 6 AND g.r + 6
+           |    AND v.c BETWEEN g.c - 6 AND g.c + 6
+           |  GROUP BY g.gid""".stripMargin
+      withCtes(
+        """g100 AS (
+          |  SELECT r.x * 144 + c.x AS gid, r.x AS r, c.x AS c,
+          |    ((r.x * 31 + c.x * 17) % 400) / CAST(4.0 AS DOUBLE)
+          |      + r.x / CAST(4.0 AS DOUBLE) AS elev,
+          |    CASE WHEN c.x % 12 = 5 OR r.x % 36 = 18 THEN 1 ELSE 0 END AS river
+          |  FROM generate_series(0, 143) r(x), generate_series(0, 143) c(x)
+          |)""".stripMargin,
+        s"vnn AS (${nnSql("g100", "g100", "v.river = 1")})",
+        s"""vd AS (
+           |  SELECT g.*, v.packed // 1048576 AS vd2, v.packed % 1048576 AS vgid,
+           |    sqrt(CAST(v.packed // 1048576 AS DOUBLE)) AS vectdist,
+           |    ${elevSql("(v.packed % 1048576)")} - CAST(10.0 AS DOUBLE) AS vectallo,
+           |    CASE WHEN CAST(v.packed // 1048576 AS DOUBLE) > CAST(10.5625 AS DOUBLE)
+           |         THEN 1 ELSE 0 END AS outside
+           |  FROM g100 g JOIN vnn v ON g.gid = v.gid
+           |)""".stripMargin,
+        s"bnn AS (${nnSql("(SELECT * FROM vd WHERE outside = 0)",
+          "(SELECT * FROM vd WHERE outside = 1)", "1 = 1")})",
+        s"""bb AS (
+           |  SELECT t.*,
+           |    CASE WHEN t.outside = 1 THEN 0 ELSE b.packed // 1048576 END AS bd2,
+           |    CASE WHEN t.outside = 1 THEN t.gid ELSE b.packed % 1048576 END AS bgid
+           |  FROM vd t LEFT JOIN bnn b ON t.gid = b.gid
+           |)""".stripMargin,
+        s"""f100 AS (
+           |  SELECT *, sqrt(CAST(bd2 AS DOUBLE)) AS bufdist,
+           |    ${elevSql("bgid")} AS bufallo
+           |  FROM bb
+           |)""".stripMargin)(
+        """SELECT gid, CAST(river AS INT) AS river, elev, vd2, vgid, vectallo,
+          |  bd2, bgid, bufallo,
+          |  vectallo + (bufallo - vectallo) / (bufdist + vectdist) * vectdist AS smoelev,
+          |  CASE WHEN river = 1
+          |       THEN vectallo + (bufallo - vectallo) / (bufdist + vectdist) * vectdist
+          |            - CAST(1000.0 AS DOUBLE)
+          |       WHEN outside = 1 THEN elev
+          |       ELSE vectallo + (bufallo - vectallo) / (bufdist + vectdist) * vectdist
+          |  END AS agree_elev
+          |FROM f100""".stripMargin)
+    },
+
+    "q101_accuflux" -> withRecursiveCtes(
+      """net98 AS (
+        |  SELECT hydroid,
+        |    lpad(CAST(CAST(floor(floor(hydroid / 144) / 8) * 18 + floor((hydroid % 144) / 8) AS BIGINT) AS VARCHAR), 8, '0') AS huc8,
+        |    CAST(CASE WHEN (CAST(floor(hydroid / 144) AS BIGINT) % 8) = 0 THEN -1
+        |         ELSE (CAST(floor(hydroid / 144) AS BIGINT) - 1) * 144 + (hydroid % 144)
+        |              - (hydroid % 8) + CAST(floor((hydroid % 8) / 2) AS BIGINT)
+        |    END AS BIGINT) AS to_node
+        |  FROM (SELECT a.x * 144 + b.x AS hydroid
+        |        FROM generate_series(0, 143) a(x), generate_series(0, 143) b(x))
+        |)""".stripMargin,
+      """hw AS (
+        |  SELECT hydroid FROM net98 n
+        |  WHERE hydroid % 13 = 2
+        |    AND NOT EXISTS (SELECT 1 FROM net98 u WHERE u.to_node = n.hydroid)
+        |)""".stripMargin,
+      """walk AS (
+        |  SELECT hydroid AS node FROM hw
+        |  UNION ALL
+        |  SELECT n.to_node AS node FROM walk w JOIN net98 n ON w.node = n.hydroid
+        |  WHERE n.to_node >= 0
+        |)""".stripMargin,
+      "acc AS (SELECT node, count(*) AS flowaccum FROM walk GROUP BY node)")(
+      """SELECT n.huc8, n.hydroid, coalesce(a.flowaccum, 0) AS flowaccum,
+        |  CAST(CASE WHEN coalesce(a.flowaccum, 0) > 0 THEN 25 ELSE 0 END AS INT)
+        |    AS stream_pixel
+        |FROM net98 n LEFT JOIN acc a ON n.hydroid = a.node""".stripMargin),
+
+    "q102_rem" -> withCtes(pts, asg,
+      """zm AS (
+        |  SELECT hydroid, min(hand) AS zmin FROM asg WHERE pid % 23 = 1
+        |  GROUP BY hydroid
+        |)""".stripMargin)(
+      """SELECT a.pid, a.hydroid, a.hand AS dem,
+        |  CASE WHEN z.zmin IS NULL THEN CAST(-9999.0 AS DOUBLE)
+        |       ELSE a.hand - z.zmin END AS rem
+        |FROM asg a LEFT JOIN zm z ON a.hydroid = z.hydroid""".stripMargin),
+
+    "q103_src_finalize" -> withCtes(Seq(srcg,
+      """fg AS (
+        |  SELECT hydroid, 1000000 + hydroid AS feature_id, i, stage, channel_n,
+        |    slope,
+        |    surface_area / length_km / CAST(1000.0 AS DOUBLE) AS top_width,
+        |    bed_area / length_km / CAST(1000.0 AS DOUBLE) AS wetted_perimeter,
+        |    volume / length_km / CAST(1000.0 AS DOUBLE) AS wet_area
+        |  FROM srcg
+        |)""".stripMargin,
+      """fh AS (
+        |  SELECT *, CASE WHEN wetted_perimeter > CAST(0.0 AS DOUBLE)
+        |                 THEN wet_area / wetted_perimeter
+        |                 ELSE CAST(0.0 AS DOUBLE) END AS hydraulic_radius
+        |  FROM fg
+        |)""".stripMargin,
+      """fx AS (
+        |  SELECT *, CASE WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
+        |                 THEN hydraulic_radius * hydraulic_radius
+        |                 ELSE CAST(1.0 AS DOUBLE) END AS x2f
+        |  FROM fh
+        |)""".stripMargin,
+      "f0 AS (SELECT *, sqrt(sqrt(x2f)) AS yf FROM fx)") ++
+      (1 to 8).map(k =>
+        s"""f$k AS (SELECT * REPLACE (
+           |  (CAST(2.0 AS DOUBLE) * yf + x2f / (yf * yf)) / CAST(3.0 AS DOUBLE)
+           |    AS yf) FROM f${k - 1})""".stripMargin): _*)(
+      """SELECT hydroid, feature_id, CAST(i AS BIGINT) AS i, stage, top_width,
+        |  wetted_perimeter, wet_area, hydraulic_radius,
+        |  CASE WHEN stage = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+        |       WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
+        |       THEN wet_area * yf * sqrt(slope) / channel_n
+        |       ELSE CAST(0.0 AS DOUBLE) END AS discharge_cms
+        |FROM f8""".stripMargin),
+
+    "q104_mannings_reset" -> withCtes(Seq(srcg, net,
+      """fg AS (
+        |  SELECT hydroid, i, stage, slope,
+        |    bed_area / length_km / CAST(1000.0 AS DOUBLE) AS wetted_perimeter,
+        |    volume / length_km / CAST(1000.0 AS DOUBLE) AS wet_area
+        |  FROM srcg
+        |)""".stripMargin,
+      """fh AS (
+        |  SELECT *, CASE WHEN wetted_perimeter > CAST(0.0 AS DOUBLE)
+        |                 THEN wet_area / wetted_perimeter
+        |                 ELSE CAST(0.0 AS DOUBLE) END AS hydraulic_radius
+        |  FROM fg
+        |)""".stripMargin,
+      """fx AS (
+        |  SELECT *, CASE WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
+        |                 THEN hydraulic_radius * hydraulic_radius
+        |                 ELSE CAST(1.0 AS DOUBLE) END AS x2f
+        |  FROM fh
+        |)""".stripMargin,
+      "f0 AS (SELECT *, sqrt(sqrt(x2f)) AS yf FROM fx)") ++
+      (1 to 8).map(k =>
+        s"""f$k AS (SELECT * REPLACE (
+           |  (CAST(2.0 AS DOUBLE) * yf + x2f / (yf * yf)) / CAST(3.0 AS DOUBLE)
+           |    AS yf) FROM f${k - 1})""".stripMargin) ++ Seq(
+      """rq AS (
+        |  SELECT hydroid, i, stage,
+        |    CASE WHEN stage = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+        |         WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
+        |         THEN wet_area * yf * sqrt(slope) / CAST(0.06 AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS q_reset
+        |  FROM f8
+        |)""".stripMargin,
+      """ups AS (
+        |  SELECT to_node AS hydroid, count(*) AS n_up,
+        |    min((8 - order_) * 16777216 + hydroid) AS upk
+        |  FROM net WHERE to_node >= 0 GROUP BY to_node
+        |)""".stripMargin,
+      """dn1 AS (
+        |  SELECT n.hydroid,
+        |    (((n.hydroid * 7 + 3) % 40) / CAST(20.0 AS DOUBLE) < CAST(0.25 AS DOUBLE)
+        |      AND n.length_km < CAST(1.2 AS DOUBLE)
+        |      AND n.hydroid % 97 <> 0) AS small,
+        |    CASE WHEN u.n_up >= 1 THEN u.upk % 16777216
+        |         WHEN n.to_node >= 0 THEN n.to_node
+        |         ELSE n.hydroid END AS donor1,
+        |    u.n_up IS NULL AS headwater
+        |  FROM net n LEFT JOIN ups u ON n.hydroid = u.hydroid
+        |)""".stripMargin,
+      """dnr AS (
+        |  SELECT a.hydroid,
+        |    CASE WHEN NOT a.small THEN NULL
+        |         WHEN a.headwater AND b.small THEN b.donor1
+        |         ELSE a.donor1 END AS donor_id,
+        |    CASE WHEN a.small THEN 1 ELSE 0 END AS is_small
+        |  FROM dn1 a LEFT JOIN dn1 b ON a.donor1 = b.hydroid
+        |)""".stripMargin): _*)(
+      """SELECT s.hydroid, s.i, s.stage, CAST(0.06 AS DOUBLE) AS manning_n,
+        |  CASE WHEN d.donor_id IS NOT NULL THEN dq.q_reset
+        |       ELSE s.q_reset END AS discharge_cms,
+        |  d.donor_id, CAST(d.is_small AS INT) AS is_small
+        |FROM rq s JOIN dnr d ON s.hydroid = d.hydroid
+        |LEFT JOIN rq dq ON dq.hydroid = d.donor_id AND dq.i = s.i""".stripMargin),
+
+    "q105_unit_error_gate" -> withCtes(pts, asg,
+      """hagg AS (
+        |  SELECT lpad(CAST(CAST(floor(floor(hydroid / 144) / 8) * 18 + floor((hydroid % 144) / 8) AS BIGINT) AS VARCHAR), 8, '0') AS huc8,
+        |    count(*) AS n_pts,
+        |    count(CASE WHEN hydroid % 97 <> 0 THEN 1 END) AS n_ok
+        |  FROM asg GROUP BY 1
+        |)""".stripMargin,
+      """ust AS (
+        |  SELECT u.huc8,
+        |    CASE WHEN a.huc8 IS NULL THEN 60 WHEN a.n_ok = 0 THEN 64 ELSE 0 END AS status
+        |  FROM (SELECT lpad(CAST(x.x * 18 + y.x AS VARCHAR), 8, '0') AS huc8
+        |        FROM generate_series(0, 17) x(x), generate_series(0, 17) y(x)) u
+        |  LEFT JOIN hagg a ON u.huc8 = a.huc8
+        |)""".stripMargin,
+      """gat AS (
+        |  SELECT count(*) AS n_units,
+        |    count(CASE WHEN status <> 0 THEN 1 END) AS n_errors
+        |  FROM ust
+        |)""".stripMargin)(
+      """SELECT n_units, n_errors,
+        |  CAST(n_errors AS DOUBLE) / CAST(n_units AS DOUBLE) * CAST(100.0 AS DOUBLE)
+        |    AS pct_errors,
+        |  CAST(CASE WHEN n_errors > 10
+        |        AND CAST(n_errors AS DOUBLE) / CAST(n_units AS DOUBLE)
+        |            * CAST(100.0 AS DOUBLE) >= CAST(10.0 AS DOUBLE)
+        |       THEN 62 ELSE 0 END AS INT) AS return_code
+        |FROM gat""".stripMargin),
 
     "q91_bridge_flows" -> {
       def interpSql(t: String): String =

@@ -503,4 +503,116 @@ object Calibration {
           .as("discharge_cms"),
         col("calb_coef_manual").isNotNull.cast("int").as("calb_applied"))
   }
+
+  /** Full-channel geometry derivation shared by [[finalizeSrcs]] and
+    * [[resetMannings]] — `src/finalize_srcs.py:26-37` column for column:
+    * TopWidth / WettedPerimeter / WetArea from the per-km geometry, the
+    * HydraulicRadius fillna(0) guard (kept as an explicit `when` both
+    * engines — an unguarded ratio is a DuckDB-NULL vs Spark-Inf parity
+    * break), and the Newton x^(2/3) chain seeded away from 0. */
+  private def fullGeom(src: DataFrame): DataFrame = {
+    val base = src
+      .withColumn("top_width", col("surface_area") / col("length_km") / lit(1000.0))
+      .withColumn("wetted_perimeter", col("bed_area") / col("length_km") / lit(1000.0))
+      .withColumn("wet_area", col("volume") / col("length_km") / lit(1000.0))
+      .withColumn("hydraulic_radius",
+        when(col("wetted_perimeter") > 0.0, col("wet_area") / col("wetted_perimeter"))
+          .otherwise(lit(0.0)))
+      .withColumn("x2f",
+        when(col("hydraulic_radius") > 0.0,
+          col("hydraulic_radius") * col("hydraulic_radius")).otherwise(lit(1.0)))
+    newtonCbrt(base, "x2f", "yf")
+  }
+
+  /** Manning discharge off [[fullGeom]] columns with the given roughness
+    * column: 0 at stage 0 (`finalize_srcs.py:40`) and 0 where the
+    * hydraulic radius is 0 (the reference's inf/nan → 0 path). */
+  private def manningQ(n: Column): Column =
+    when(col("stage") === 0.0, lit(0.0))
+      .otherwise(when(col("hydraulic_radius") > 0.0,
+        col("wet_area") * col("yf") * sqrt(col("slope")) / n).otherwise(lit(0.0)))
+
+  /** SRC finalize (q103) — `src/finalize_srcs.py:12-62` +
+    * `src/update_htable_src.py:26-52`: the base SRC merged with the
+    * crosswalked ManningN, all hydraulic columns re-derived, discharge
+    * recomputed via Manning (x^(2/3) as the bit-portable Newton chain),
+    * stage-0 rows zeroed, and the hydrotable's (stage, discharge) replaced
+    * by the finalized curve (the reference's drop + right-merge). Pure
+    * per-row map work over the knot table — no shuffle at all. */
+  def finalizeSrcs(spark: SparkSession): DataFrame =
+    fullGeom(srcGeom(spark))
+      .select(col("hydroid"), col("feature_id"), col("i").cast("long").as("i"),
+        col("stage"), col("top_width"), col("wetted_perimeter"), col("wet_area"),
+        col("hydraulic_radius"), manningQ(col("channel_n")).as("discharge_cms"))
+
+  /** Manning's-N reset + small-segment donor replacement (q104) —
+    * `src/reset_mannings.py:13-246` end to end:
+    *
+    *  1. `override_mannings(:100-104)`: every reach's roughness becomes one
+    *     constant (0.06) and discharge is recomputed (`calculate_discharge
+    *     :106-118`, same Manning algebra as q103).
+    *  2. `identify_small_reaches(:120-219)`: reaches with catchment area
+    *     < 0.25 km², length < 1.2 km and no lake take a donor — the
+    *     max-order upstream neighbor (first row on ties, = lowest id in the
+    *     id-ordered frame), the single upstream when there is one (same
+    *     argmin), else the downstream reach, else self.
+    *  3. `replace_discharges_of_small_segments(:219-246)`: the short
+    *     reach's per-stage discharges become the donor's. The reference
+    *     loops in id order over an in-place frame, so a small HEADWATER
+    *     whose downstream donor (lower id, already processed) is itself
+    *     small receives that donor's REPLACED curve — i.e. the donor's own
+    *     upstream donor's original values. Donor ids point upstream (higher
+    *     id, not yet processed) in every other case, so chains stop at
+    *     depth 2; the closed form below resolves exactly that.
+    *
+    * Donor selection is a packed-BIGINT argmin ((8−order)·2²⁴ + id) over
+    * one upstream aggregation; replacement is two broadcast joins (the
+    * small-reach table and the donor-curve subset are both tiny). The knot
+    * table itself never shuffles. */
+  def resetMannings(spark: SparkSession, reachesDf: DataFrame,
+                    mannings: Double = 0.06): DataFrame = {
+    val src2 = fullGeom(srcGeom(spark))
+      .select(col("hydroid"), col("i").cast("long").as("i"), col("stage"),
+        manningQ(lit(mannings)).as("q_reset"))
+    val rs = reachesDf.select(col("hydroid"), col("order_"), col("length_km"),
+      col("to_node"),
+      (((col("hydroid") * 7 + 3) % 40) / lit(20.0)).as("areasqkm"),
+      (col("hydroid") % 97 === 0).as("is_lake"))
+    val ups = rs.filter(col("to_node") >= 0)
+      .groupBy(col("to_node").as("hydroid"))
+      .agg(count(lit(1)).as("n_up"),
+        min((lit(8) - col("order_")).cast("long") * 16777216L + col("hydroid"))
+          .as("upk"))
+    val dn1 = rs.join(ups, Seq("hydroid"), "left")
+      .withColumn("small",
+        col("areasqkm") < 0.25 && col("length_km") < 1.2 && !col("is_lake"))
+      .withColumn("donor1",
+        when(col("n_up") >= 1, (col("upk") % 16777216L).cast("int"))
+          .otherwise(when(col("to_node") >= 0, col("to_node"))
+            .otherwise(col("hydroid"))))
+      .withColumn("headwater", col("n_up").isNull)
+      .select(col("hydroid"), col("small"), col("donor1"), col("headwater"))
+    // depth-2 resolution: a small headwater whose downstream donor is also
+    // small takes THAT reach's donor (its replaced curve at loop time)
+    val d2 = dn1.as("a")
+      .join(broadcast(dn1.select(col("hydroid").as("donor1"),
+        col("small").as("d_small"), col("donor1").as("d_donor1"))), Seq("donor1"), "left")
+      .select(col("hydroid"),
+        when(!col("small"), lit(null).cast("int"))
+          .when(col("headwater") && col("d_small"), col("d_donor1"))
+          .otherwise(col("donor1")).as("donor_id"),
+        col("small").cast("int").as("is_small"))
+    val donorIds = d2.filter(col("donor_id").isNotNull)
+      .select(col("donor_id")).distinct()
+    val donorCurves = src2.join(broadcast(donorIds),
+      src2("hydroid") === donorIds("donor_id"))
+      .select(col("donor_id"), col("i"), col("q_reset").as("donor_q"))
+    src2.join(broadcast(d2), Seq("hydroid"))
+      .join(broadcast(donorCurves), Seq("donor_id", "i"), "left")
+      .select(col("hydroid"), col("i"), col("stage"),
+        lit(mannings).as("manning_n"),
+        when(col("donor_id").isNotNull, col("donor_q")).otherwise(col("q_reset"))
+          .as("discharge_cms"),
+        col("donor_id").cast("long").as("donor_id"), col("is_small"))
+  }
 }

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DEM-conditioning family — the reference's hydro-conditioning kernels
+  * re-expressed as bounded-radius join algebra over a deterministic raster
+  * grid:
+  *
+  *  - [[agreeBurn]] (q100) — `src/agreedem.py:10-331` (the AGREE / Hellweger
+  *    stream-burn: smooth drop, euclidean distance + nearest-value
+  *    allocation, buffer rim, sharp drop) with the distance/allocation
+  *    transforms of `src/unique_pixel_and_allocation.py:14-60` as
+  *    block-halo equi-joins.
+  *  - [[accuflux]] (q101) — `src/accumulate_headwaters.py:20-82`
+  *    (headwater accumulation along flow direction + threshold to stream
+  *    pixels), per-HUC kernel ≡ recursive-CTE oracle.
+  *  - [[rem]] (q102) — `src/make_rem.py:10-130` (REM/HAND: per-catchment
+  *    minimum elevation along the thalweg, subtracted from every cell).
+  *
+  * Scale shape: the distance transforms never scan the grid per cell — river
+  * / rim candidates are replicated to their 3×3 neighbor blocks (block edge
+  * 8 ≥ the proven search radius 6) and matched with ONE hash equi-join on
+  * the block key, so candidate count per cell is bounded by the buffer
+  * radius, cost is linear in cells, and the same plan shards by block key
+  * on a cluster. The argmin is a packed-BIGINT `min` (d² · 2²⁰ + gid —
+  * exact, order-insensitive, map-side combining), never a window.
+  */
+object Terrain {
+
+  val GridN = 144                  // rows = cols = 144, gid = r*144 + c
+  val BufferDist = 3.75            // AGREE buffer (cells); half-res 0.5
+  val FinalBuffer2 = 10.5625       // (3.75 - 0.5)² — compare on d², exact
+  val SmoothDrop = 10.0            // agreedem.py smooth_drop
+  val SharpDrop = 1000.0           // agreedem.py sharp_drop
+  val Rad = 6                      // Chebyshev search radius (rivers every
+                                   // 12 cols ⇒ d∞ ≤ 6 to a river cell)
+
+  /** Elevation closed form — exact dyadic doubles (quarters), so every
+    * engine computes the identical bit pattern. */
+  private def elevOf(r: Column, c: Column): Column =
+    ((r * 31 + c * 17) % 400) / lit(4.0) + r / lit(4.0)
+
+  /** The synthetic DEM grid: (gid, r, c, elev, river). River cells form
+    * vertical lines every 12 columns plus sparse horizontal lines — real
+    * 2-D distance structure with T-junctions. */
+  def grid(spark: SparkSession): DataFrame =
+    spark.range(0, (GridN * GridN).toLong).select(
+      col("id").as("gid"),
+      expr(s"id div $GridN").cast("int").as("r"),
+      (col("id") % GridN).cast("int").as("c"))
+      .withColumn("elev", elevOf(col("r"), col("c")))
+      .withColumn("river",
+        when(col("c") % 12 === 5 || col("r") % 36 === 18, 1).otherwise(0))
+
+  /** Nearest candidate per grid cell within Chebyshev radius [[Rad]], as a
+    * block-halo equi-join: candidates are exploded to their own and the 8
+    * neighboring 8×8 blocks, the probe side joins on the block key only,
+    * and the argmin is min(d² · 2²⁰ + candidate gid) — deterministic
+    * (lowest gid wins ties) and exact (d² ≤ 2·Rad², gid < 2²⁰). Returns
+    * (gid, packed). */
+  private def nearest(cells: DataFrame, candidates: DataFrame): DataFrame = {
+    val halo = candidates.select(col("gid").as("vgid"), col("r").as("vr"), col("c").as("vc"))
+      .withColumn("dbr", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("dbc", explode(array((-1 to 1).map(lit): _*)))
+      .select((expr("vr div 8") + col("dbr")).cast("int").as("br"),
+        (expr("vc div 8") + col("dbc")).cast("int").as("bc"),
+        col("vgid"), col("vr"), col("vc"))
+    cells.select(col("gid"), col("r"), col("c"),
+      expr("r div 8").cast("int").as("br"), expr("c div 8").cast("int").as("bc"))
+      .join(halo, Seq("br", "bc"))
+      .filter(abs(col("vr") - col("r")) <= Rad && abs(col("vc") - col("c")) <= Rad)
+      .groupBy(col("gid"))
+      .agg(min(((col("vr") - col("r")) * (col("vr") - col("r"))
+        + (col("vc") - col("c")) * (col("vc") - col("c"))).cast("long") * lit(1048576L)
+        + col("vgid")).as("packed"))
+  }
+
+  /** AGREE stream burn (q100) — `src/agreedem.py:10-331`, all eight
+    * Hellweger steps as one relational plan:
+    *
+    *  1. smogrid: river cells at elev − smooth_drop (folded into vectallo).
+    *  2-3. vectdist / vectallo: distance to the nearest river cell and that
+    *     cell's (dropped) elevation — [[nearest]] against river cells.
+    *  4. bufgrid: cells with vectdist² > (buffer − half_res)² keep their
+    *     elevation (the rim); cells inside are nodata.
+    *  5. bufdist / bufallo: distance/elevation of the nearest rim cell —
+    *     [[nearest]] against rim cells, probed only by inside-buffer cells
+    *     (rim cells are their own nearest at distance 0, the reference's
+    *     valued-cell semantics).
+    *  6. smoelev = vectallo + (bufallo − vectallo)/(bufdist + vectdist) ·
+    *     vectdist — linear reconditioning between dropped stream and rim.
+    *  7. shagrid: river cells get smoelev − sharp_drop.
+    *  8. elevgrid: river → sharp; outside buffer → original; else smooth.
+    *
+    * The synthetic grid has full valid coverage, so the reference's
+    * nodata-allocation fallbacks (`agreedem.py:230-238`) never trigger —
+    * documented rather than modeled. */
+  def agreeBurn(spark: SparkSession): DataFrame = {
+    val g = grid(spark).cache()
+    val vect = nearest(g, g.filter(col("river") === 1))
+      .select(col("gid"),
+        expr("packed div 1048576").as("vd2"),
+        (col("packed") % 1048576L).as("vgid"))
+    val withVect = g.join(vect, Seq("gid"))
+      .withColumn("vectdist", sqrt(col("vd2").cast("double")))
+      .withColumn("vectallo",
+        elevOf(expr(s"vgid div $GridN").cast("int"), (col("vgid") % GridN).cast("int"))
+          - lit(SmoothDrop))
+      .withColumn("outside", (col("vd2").cast("double") > lit(FinalBuffer2)).cast("int"))
+    val rim = withVect.filter(col("outside") === 1)
+      .select(col("gid"), col("r"), col("c"))
+    val buf = nearest(withVect.filter(col("outside") === 0), rim)
+      .select(col("gid"),
+        expr("packed div 1048576").as("bd2_in"),
+        (col("packed") % 1048576L).as("bgid_in"))
+    withVect.join(buf, Seq("gid"), "left")
+      .withColumn("bd2", when(col("outside") === 1, 0L).otherwise(col("bd2_in")))
+      .withColumn("bgid", when(col("outside") === 1, col("gid")).otherwise(col("bgid_in")))
+      .withColumn("bufdist", sqrt(col("bd2").cast("double")))
+      .withColumn("bufallo",
+        elevOf(expr(s"bgid div $GridN").cast("int"), (col("bgid") % GridN).cast("int")))
+      .withColumn("smoelev",
+        col("vectallo") + (col("bufallo") - col("vectallo"))
+          / (col("bufdist") + col("vectdist")) * col("vectdist"))
+      .withColumn("agree_elev",
+        when(col("river") === 1, col("smoelev") - lit(SharpDrop))
+          .when(col("outside") === 1, col("elev"))
+          .otherwise(col("smoelev")))
+      .select(col("gid"), col("river"), col("elev"), col("vd2"),
+        col("vgid"), col("vectallo"), col("bd2"),
+        col("bgid"), col("bufallo"), col("smoelev"),
+        col("agree_elev"))
+  }
+
+  /** Headwater flow accumulation + stream-pixel threshold (q101) —
+    * `src/accumulate_headwaters.py:20-82`: accuflux(weights, direction=up)
+    * over the reach flow forest, where the weight raster is 1 at a sparse
+    * deterministic subset of true headwaters (no-inflow reaches with
+    * hydroid % 13 == 2) and 0 elsewhere; every reach accumulates the
+    * weights of its upstream cone (plus itself), and the stream-pixel
+    * raster takes the threshold VALUE where accumulation is positive
+    * (`accumulate_headwaters.py:73` `np.where(flowaccum > 0, threshold,
+    * 0)` — the reference writes the threshold, not a 0/1 flag).
+    *
+    * Per-HUC `flatMapGroups` kernel (depth ≤ 8 by construction), the same
+    * shape as [[StreamNet.arbolate]]; the oracle is the recursive-CTE
+    * path-count (one row per headwater × downstream node). */
+  def accuflux(spark: SparkSession, reachesDf: DataFrame,
+               threshold: Int = 25): DataFrame = {
+    import spark.implicits._
+    reachesDf.select(col("huc8"), col("hydroid").cast("int"),
+      col("to_node").cast("int"))
+      .as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (huc, it) =>
+        val rs = it.toArray
+        val ups = rs.groupBy(_._3) // to_node -> upstream reaches
+        val memo = scala.collection.mutable.HashMap[Int, Long]()
+        def acc(h: Int): Long = memo.getOrElseUpdate(h, {
+          val kids = ups.getOrElse(h, Array.empty)
+          val w = if (kids.isEmpty && h % 13 == 2) 1L else 0L
+          w + kids.map(k => acc(k._2)).sum
+        })
+        rs.iterator.map(r => (huc, r._2, acc(r._2)))
+      }
+      .toDF("huc8", "hydroid", "flowaccum")
+      .withColumn("stream_pixel",
+        when(col("flowaccum") > 0, lit(threshold)).otherwise(lit(0)))
+  }
+
+  /** REM / HAND detrend (q102) — `src/make_rem.py:30-130`: per
+    * pixel-catchment minimum DEM along the thalweg (`thalweg_window == 1`
+    * gate, `make_rem.py:31-34`), then REM = dem − catchment_min for every
+    * cell of the catchment; catchments absent from the min dictionary keep
+    * the nodata value (`calculate_rem:79-88`). Thalweg mask: every 23rd
+    * point (offset 1). Zonal min is a 20 k-row broadcast back over the
+    * fact table — one partial-aggregating exchange, no wide join. */
+  def rem(assigned: DataFrame, ndv: Double = -9999.0): DataFrame = {
+    val mins = assigned.filter(col("pid") % 23 === 1)
+      .groupBy(col("hydroid")).agg(min(col("hand")).as("zmin"))
+    assigned.join(broadcast(mins), Seq("hydroid"), "left")
+      .select(col("pid"), col("hydroid").cast("long").as("hydroid"),
+        col("hand").as("dem"),
+        when(col("zmin").isNull, lit(ndv))
+          .otherwise(col("hand") - col("zmin")).as("rem"))
+  }
+}

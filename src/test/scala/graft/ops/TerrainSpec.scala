@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** DEM-conditioning family (q100-q104): AGREE burn invariants, accuflux
+  * mass conservation, REM semantics, and the small-segment donor rules. */
+class TerrainSpec extends SparkTestBase {
+
+  test("AGREE burn: total coverage, river drop, rim passthrough, smooth band") {
+    val out = Terrain.agreeBurn(spark).cache()
+    val n = out.count()
+    assert(n == Terrain.GridN.toLong * Terrain.GridN)
+    // every cell resolved both nearest-neighbor passes (radius 6 suffices)
+    assert(out.filter(col("agree_elev").isNull || col("smoelev").isNull).count() == 0)
+    // river cells: sharp-dropped below everything else
+    val Seq(maxRiver, minOther) = Seq(
+      out.filter(col("river") === 1).agg(max(col("agree_elev"))),
+      out.filter(col("river") === 0).agg(min(col("agree_elev"))))
+      .map(_.head().getDouble(0))
+    assert(maxRiver < minOther - 500.0, s"sharp drop missing: $maxRiver vs $minOther")
+    // outside-buffer cells keep the original elevation EXACTLY
+    assert(out.filter(col("vd2") > 10 && col("agree_elev") =!= col("elev")).count() == 0)
+    // inside non-river cells sit between the dropped stream and the rim
+    // (linear interpolation stays inside its endpoints)
+    val bad = out.filter(col("river") === 0 && col("vd2") <= 10
+      && (col("smoelev") < least(col("vectallo"), col("bufallo")) - 1e-9
+        || col("smoelev") > greatest(col("vectallo"), col("bufallo")) + 1e-9))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("AGREE burn is partitioning-invariant (packed-min argmin, no ties lost)") {
+    val a = Terrain.agreeBurn(spark)
+      .select(col("gid"), col("vgid"), col("bgid")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // the same query under a different shuffle width picks identical winners
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "3")
+    val b = Terrain.agreeBurn(s2)
+      .select(col("gid"), col("vgid"), col("bgid")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(a == b)
+  }
+
+  test("accuflux conserves mass: outlet sums equal headwater weight count") {
+    val net = NetworkEval.confluenceNet(spark).cache()
+    val acc = Terrain.accuflux(spark, net).cache()
+    // weights: no-inflow reaches with hydroid % 13 == 2
+    val ups = net.select(col("to_node").as("hydroid")).distinct()
+    val nHw = net.join(ups, Seq("hydroid"), "left_anti")
+      .filter(col("hydroid") % 13 === 2).count()
+    // every headwater's unit of flow ends at exactly one outlet (to_node -1),
+    // so outlet accumulations sum to the headwater count
+    val outletSum = acc.join(net.filter(col("to_node") === -1)
+      .select(col("hydroid")), Seq("hydroid"))
+      .agg(sum(col("flowaccum"))).head().getLong(0)
+    assert(outletSum == nHw, s"outlets carry $outletSum of $nHw headwaters")
+    // accumulation grows (weakly) downstream
+    val pairs = acc.select(col("hydroid"), col("flowaccum"))
+      .join(net.filter(col("to_node") >= 0), Seq("hydroid"))
+      .join(acc.select(col("hydroid").as("to_node"),
+        col("flowaccum").as("acc_down")), Seq("to_node"))
+    assert(pairs.filter(col("acc_down") < col("flowaccum")).count() == 0)
+    // the merge net actually merges (the plain reach net is a permutation)
+    assert(acc.filter(col("flowaccum") > 1).count() > 0)
+    acc.unpersist(); net.unpersist()
+  }
+
+  test("REM: thalweg cells detrend to >= 0; missing-thalweg catchments get ndv") {
+    val asg = SpatialJoin.assign(spark, graft.synth.Synth.points(spark, sf0001))
+    val out = Terrain.rem(asg).cache()
+    assert(out.filter(col("pid") % 23 === 1 && col("rem") < 0.0).count() == 0)
+    assert(out.filter(col("rem") === -9999.0).count() > 0)
+    // rem equals dem - zonal_min bit-for-bit where defined (recomputed
+    // independently with the same IEEE subtraction)
+    val mins = asg.filter(col("pid") % 23 === 1)
+      .groupBy(col("hydroid").cast("long").as("hydroid"))
+      .agg(min(col("hand")).as("zmin"))
+    val recon = out.filter(col("rem") =!= -9999.0)
+      .join(mins, Seq("hydroid"))
+      .filter(col("rem") =!= col("dem") - col("zmin"))
+    assert(recon.count() == 0)
+    out.unpersist()
+  }
+
+  test("mannings reset: small reaches carry their donor's exact curve") {
+    val out = Calibration.resetMannings(spark, StreamNet.reaches(spark)).cache()
+    val small = out.filter(col("is_small") === 1)
+    assert(small.select(col("hydroid")).distinct().count() > 0)
+    // every small reach's discharge row equals its donor's own (non-donated)
+    // row at the same knot — re-derived independently from the output itself
+    val donorRows = out.filter(col("donor_id").isNull || col("is_small") === 0)
+      .select(col("hydroid").as("donor_id"), col("i"),
+        col("discharge_cms").as("donor_q"))
+    val chained = small.join(donorRows, Seq("donor_id", "i"), "left")
+    // donors that are themselves small (upstream donors, replaced later in
+    // the reference loop) keep ORIGINAL values — those are not in donorRows,
+    // so compare only resolvable rows and separately bound the chain depth
+    val mismatch = chained.filter(col("donor_q").isNotNull
+      && col("discharge_cms") =!= col("donor_q")).count()
+    assert(mismatch == 0)
+    // non-small reaches are never rewritten
+    assert(out.filter(col("is_small") === 0 && col("donor_id").isNotNull).count() == 0)
+    out.unpersist()
+  }
+
+  test("plan gate: AGREE nearest passes are hash joins + hash aggregates") {
+    val df = Terrain.agreeBurn(spark)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+}
