@@ -725,6 +725,29 @@ object SparkEntry {
             && col("n_errors").cast("double") / col("n_units").cast("double")
                * lit(100.0) >= 10.0, lit(62)).otherwise(lit(0)).as("return_code"))),
 
+    // national metric rollup: per-catchment contingency counts summed per
+    // (benchmark, magnitude), metric family recomputed over the SUMS (the
+    // reference aggregates count JSONs, never averages ratios)
+    "q106_aggregate_metrics" -> ((s, dir) =>
+      Agreement.aggregateMetrics(s, Inundate.run(s, dir))),
+
+    // composite variable roughness: channel-volume ratio blends channel and
+    // overbank n per knot; incomplete roughness table falls back
+    "q107_vary_mannings" -> ((s, _) => Calibration.variableMannings(s)),
+
+    // water-surface fillnodata: exact integer-weighted IDW within radius 4,
+    // depth = interpolated WSE - DEM, nodata past max search distance
+    "q108_interp_wse" -> ((s, _) => Terrain.interpolateWse(s)),
+
+    // flood-impact CSI over structures + roads vs two extents (incl. the
+    // reference's LEFT-merge TP quirk)
+    "q109_flood_impact" -> ((s, dir) =>
+      Impact.floodImpact(s, Inundate.run(s, dir))),
+
+    // deep-flooding check: masked depth threshold per analysis polygon
+    "q110_deep_flooding" -> ((s, dir) =>
+      Impact.deepFlooding(s, Inundate.run(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -736,6 +759,73 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"),
           sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("sum_cents")))
   )
+
+  /** Shared q95/q106 oracle chain: per-(catchment, benchmark, magnitude)
+    * contingency counts from ONE mosaic pass (mirrors
+    * [[graft.ops.Agreement.alphaByHydroId]]'s counting stage). */
+  private def alphaCountCtes: Seq[String] = {
+    val combos = graft.ops.Agreement.MasterCombos.map { case (src, mag, k, w, t) =>
+      s"('$src', '$mag', $k, $w, CAST($t AS DOUBLE))"
+    }.mkString(", ")
+    Seq(pts, asg, ht, fc, stg, til, mos,
+      s"""cmb AS (SELECT * FROM (VALUES $combos) v(bench, mag, k, w, t))""",
+      """mcn AS (
+        |  SELECT cell, depth_max,
+        |    ((cell // 268435456) % 268435456) AS crow, (cell % 268435456) AS ccol,
+        |    (((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS clat,
+        |    ((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS clng
+        |  FROM mos
+        |)""".stripMargin,
+      s"""agh AS (
+         |  SELECT CAST(floor((clat + 90.0) / 1.25) AS BIGINT) * 144
+         |           + CAST(floor((clng + 180.0) / 2.5) AS BIGINT) AS hydroid,
+         |    bench, mag,
+         |    CASE WHEN (crow * 29 + ccol * 13) % 50 = 0 THEN 4
+         |         ELSE (CASE WHEN depth_max > t THEN 1 ELSE 0 END) * 2
+         |              + CASE WHEN (crow * 31 + ccol * 17 + k) % 10 < w THEN 1 ELSE 0 END
+         |    END AS agreement
+         |  FROM mcn CROSS JOIN cmb
+         |)""".stripMargin,
+      s"""c95 AS (
+         |  SELECT hydroid, $huc8FromHydroid AS huc8, bench, mag,
+         |    count(CASE WHEN agreement = 0 THEN 1 END) AS tn,
+         |    count(CASE WHEN agreement = 1 THEN 1 END) AS fn,
+         |    count(CASE WHEN agreement = 2 THEN 1 END) AS fp,
+         |    count(CASE WHEN agreement = 3 THEN 1 END) AS tp,
+         |    count(CASE WHEN agreement = 4 THEN 1 END) AS masked
+         |  FROM agh GROUP BY hydroid, bench, mag
+         |)""".stripMargin)
+  }
+
+  /** The guarded metric projection over contingency-count columns — mirrors
+    * [[graft.ops.Agreement]]'s `contingencyMetricSelect` (NA ⇔ NULL on a
+    * zero denominator; identical formula text). Shared by q95 (per-catchment
+    * grain) and q106 (summed national grain). */
+  private def contingencyMetricSql(keys: String, from: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val tot = "CAST(tn + fn + fp + tp AS DOUBLE)"
+    val aref = s"(${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) / $tot"
+    s"""SELECT $keys, tn, fn, fp, tp, masked,
+       |  $tot * CAST(100.0 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS contingency_tot_area_km2,
+       |  CASE WHEN ${d("tp")} + ${d("fp")} + ${d("fn")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fp")} + ${d("fn")}) END AS csi,
+       |  CASE WHEN ${d("tp")} + ${d("fp")} <> 0 THEN ${d("fp")} / (${d("tp")} + ${d("fp")}) END AS far,
+       |  CASE WHEN ${d("tp")} + ${d("fn")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fn")}) END AS tpr,
+       |  CASE WHEN ${d("tn")} + ${d("fp")} <> 0 THEN ${d("tn")} / (${d("tn")} + ${d("fp")}) END AS tnr,
+       |  CASE WHEN ${d("tp")} + ${d("fp")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fp")}) END AS ppv,
+       |  CASE WHEN ${d("tn")} + ${d("fn")} <> 0 THEN ${d("tn")} / (${d("tn")} + ${d("fn")}) END AS npv,
+       |  CASE WHEN (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) <> 0
+       |       THEN (${d("tp")} / (${d("tp")} + ${d("fn")}) + ${d("tn")} / (${d("tn")} + ${d("fp")})) / CAST(2.0 AS DOUBLE) END AS bal_acc,
+       |  CASE WHEN (${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) * (${d("tn")} + ${d("fn")}) <> 0
+       |       THEN (${d("tp")} * ${d("tn")} - ${d("fp")} * ${d("fn")})
+       |            / sqrt((${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) * (${d("tn")} + ${d("fn")})) END AS mcc,
+       |  CASE WHEN ${d("tp")} + ${d("fp")} + ${d("fn")} - $aref <> 0
+       |       THEN (${d("tp")} - $aref) / (${d("tp")} + ${d("fp")} + ${d("fn")} - $aref) END AS equitable_threat_score,
+       |  (${d("tp")} + ${d("fn")}) / $tot AS prevalence,
+       |  CASE WHEN ${d("tp")} + ${d("fn")} <> 0 THEN (${d("tp")} + ${d("fp")}) / (${d("tp")} + ${d("fn")}) END AS bias,
+       |  CASE WHEN ${d("tp")} * 2 + ${d("fp")} + ${d("fn")} <> 0 THEN ${d("tp")} * 2 / (${d("tp")} * 2 + ${d("fp")} + ${d("fn")}) END AS f1_score,
+       |  ${d("masked")} / ($tot + ${d("masked")}) * 100 AS masked_perc
+       |FROM $from""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_geocode" -> withCtes(pts)("SELECT pid, lat, lng, hand FROM pts"),
@@ -1232,62 +1322,19 @@ object SparkEntry {
         |  CASE WHEN m.calb_coef_manual IS NOT NULL THEN 1 ELSE 0 END AS calb_applied
         |FROM ht92 h LEFT JOIN man m ON h.feature_id = m.feature_id""".stripMargin),
 
-    "q95_alpha_by_hydroid" -> {
-      def d(c: String) = s"CAST($c AS DOUBLE)"
-      val tot = "CAST(tn + fn + fp + tp AS DOUBLE)"
-      val aref = s"(${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) / $tot"
-      val combos = graft.ops.Agreement.MasterCombos.map { case (src, mag, k, w, t) =>
-        s"('$src', '$mag', $k, $w, CAST($t AS DOUBLE))"
-      }.mkString(", ")
-      withCtes(pts, asg, ht, fc, stg, til, mos,
-        s"""cmb AS (SELECT * FROM (VALUES $combos) v(bench, mag, k, w, t))""",
-        """mcn AS (
-          |  SELECT cell, depth_max,
-          |    ((cell // 268435456) % 268435456) AS crow, (cell % 268435456) AS ccol,
-          |    (((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS clat,
-          |    ((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS clng
-          |  FROM mos
-          |)""".stripMargin,
-        s"""agh AS (
-           |  SELECT CAST(floor((clat + 90.0) / 1.25) AS BIGINT) * 144
-           |           + CAST(floor((clng + 180.0) / 2.5) AS BIGINT) AS hydroid,
-           |    bench, mag,
-           |    CASE WHEN (crow * 29 + ccol * 13) % 50 = 0 THEN 4
-           |         ELSE (CASE WHEN depth_max > t THEN 1 ELSE 0 END) * 2
-           |              + CASE WHEN (crow * 31 + ccol * 17 + k) % 10 < w THEN 1 ELSE 0 END
-           |    END AS agreement
-           |  FROM mcn CROSS JOIN cmb
-           |)""".stripMargin,
-        s"""c95 AS (
-           |  SELECT hydroid, $huc8FromHydroid AS huc8, bench, mag,
-           |    count(CASE WHEN agreement = 0 THEN 1 END) AS tn,
-           |    count(CASE WHEN agreement = 1 THEN 1 END) AS fn,
-           |    count(CASE WHEN agreement = 2 THEN 1 END) AS fp,
-           |    count(CASE WHEN agreement = 3 THEN 1 END) AS tp,
-           |    count(CASE WHEN agreement = 4 THEN 1 END) AS masked
-           |  FROM agh GROUP BY hydroid, bench, mag
-           |)""".stripMargin)(
-        s"""SELECT hydroid, huc8, bench, mag, tn, fn, fp, tp, masked,
-           |  $tot * CAST(100.0 AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS contingency_tot_area_km2,
-           |  CASE WHEN ${d("tp")} + ${d("fp")} + ${d("fn")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fp")} + ${d("fn")}) END AS csi,
-           |  CASE WHEN ${d("tp")} + ${d("fp")} <> 0 THEN ${d("fp")} / (${d("tp")} + ${d("fp")}) END AS far,
-           |  CASE WHEN ${d("tp")} + ${d("fn")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fn")}) END AS tpr,
-           |  CASE WHEN ${d("tn")} + ${d("fp")} <> 0 THEN ${d("tn")} / (${d("tn")} + ${d("fp")}) END AS tnr,
-           |  CASE WHEN ${d("tp")} + ${d("fp")} <> 0 THEN ${d("tp")} / (${d("tp")} + ${d("fp")}) END AS ppv,
-           |  CASE WHEN ${d("tn")} + ${d("fn")} <> 0 THEN ${d("tn")} / (${d("tn")} + ${d("fn")}) END AS npv,
-           |  CASE WHEN (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) <> 0
-           |       THEN (${d("tp")} / (${d("tp")} + ${d("fn")}) + ${d("tn")} / (${d("tn")} + ${d("fp")})) / CAST(2.0 AS DOUBLE) END AS bal_acc,
-           |  CASE WHEN (${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) * (${d("tn")} + ${d("fn")}) <> 0
-           |       THEN (${d("tp")} * ${d("tn")} - ${d("fp")} * ${d("fn")})
-           |            / sqrt((${d("tp")} + ${d("fp")}) * (${d("tp")} + ${d("fn")}) * (${d("tn")} + ${d("fp")}) * (${d("tn")} + ${d("fn")})) END AS mcc,
-           |  CASE WHEN ${d("tp")} + ${d("fp")} + ${d("fn")} - $aref <> 0
-           |       THEN (${d("tp")} - $aref) / (${d("tp")} + ${d("fp")} + ${d("fn")} - $aref) END AS equitable_threat_score,
-           |  (${d("tp")} + ${d("fn")}) / $tot AS prevalence,
-           |  CASE WHEN ${d("tp")} + ${d("fn")} <> 0 THEN (${d("tp")} + ${d("fp")}) / (${d("tp")} + ${d("fn")}) END AS bias,
-           |  CASE WHEN ${d("tp")} * 2 + ${d("fp")} + ${d("fn")} <> 0 THEN ${d("tp")} * 2 / (${d("tp")} * 2 + ${d("fp")} + ${d("fn")}) END AS f1_score,
-           |  ${d("masked")} / ($tot + ${d("masked")}) * 100 AS masked_perc
-           |FROM c95 WHERE tn + fn + fp + tp > 0""".stripMargin)
-    },
+    "q95_alpha_by_hydroid" -> withCtes(alphaCountCtes: _*)(
+      contingencyMetricSql("hydroid, huc8, bench, mag",
+        "c95 WHERE tn + fn + fp + tp > 0")),
+
+    "q106_aggregate_metrics" -> withCtes((alphaCountCtes :+
+      """c106 AS (
+        |  SELECT bench, mag, CAST(sum(tn) AS BIGINT) AS tn,
+        |    CAST(sum(fn) AS BIGINT) AS fn, CAST(sum(fp) AS BIGINT) AS fp,
+        |    CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(masked) AS BIGINT) AS masked,
+        |    count(*) AS n_cases
+        |  FROM c95 WHERE tn + fn + fp + tp > 0 GROUP BY bench, mag
+        |)""".stripMargin): _*)(
+      contingencyMetricSql("bench, mag, n_cases", "c106")),
 
     "q96_crosswalk_eval" -> withCtes(net,
       """xwk AS (
@@ -1668,6 +1715,192 @@ object SparkEntry {
         |            * CAST(100.0 AS DOUBLE) >= CAST(10.0 AS DOUBLE)
         |       THEN 62 ELSE 0 END AS INT) AS return_code
         |FROM gat""".stripMargin),
+
+    "q107_vary_mannings" -> withCtes(Seq(srcg, bfq,
+      """fg AS (
+        |  SELECT hydroid, 1000000 + hydroid AS feature_id, i, stage, slope,
+        |    channel_n, volume, bankfull_flow, discharge_cms,
+        |    bed_area / length_km / CAST(1000.0 AS DOUBLE) AS wetted_perimeter,
+        |    volume / length_km / CAST(1000.0 AS DOUBLE) AS wet_area
+        |  FROM srcg
+        |)""".stripMargin,
+      """fh AS (
+        |  SELECT *, CASE WHEN wetted_perimeter > CAST(0.0 AS DOUBLE)
+        |                 THEN wet_area / wetted_perimeter
+        |                 ELSE CAST(0.0 AS DOUBLE) END AS hydraulic_radius
+        |  FROM fg
+        |)""".stripMargin,
+      """fx AS (
+        |  SELECT *, CASE WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
+        |                 THEN hydraulic_radius * hydraulic_radius
+        |                 ELSE CAST(1.0 AS DOUBLE) END AS x2f
+        |  FROM fh
+        |)""".stripMargin,
+      "f0 AS (SELECT *, sqrt(sqrt(x2f)) AS yf FROM fx)") ++
+      (1 to 8).map(k =>
+        s"""f$k AS (SELECT * REPLACE (
+           |  (CAST(2.0 AS DOUBLE) * yf + x2f / (yf * yf)) / CAST(3.0 AS DOUBLE)
+           |    AS yf) FROM f${k - 1})""".stripMargin) ++ Seq(
+      """mann AS (
+        |  SELECT 1000000 + x AS feature_id,
+        |    CAST(0.02 AS DOUBLE) + ((1000000 + x) % 9) * CAST(0.005 AS DOUBLE) AS vm_channel_n,
+        |    CAST(0.08 AS DOUBLE) + ((1000000 + x) % 5) * CAST(0.02 AS DOUBLE) AS vm_overbank_n
+        |  FROM generate_series(0, 20735) t(x) WHERE (1000000 + x) % 17 <> 4
+        |)""".stripMargin,
+      """rt7 AS (
+        |  SELECT f.*, b.volume_bankfull, m.vm_channel_n, m.vm_overbank_n,
+        |    CASE WHEN f.stage = CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE)
+        |         ELSE b.volume_bankfull / f.volume END AS ratio0
+        |  FROM f8 f JOIN bfq b ON f.hydroid = b.hydroid
+        |  LEFT JOIN mann m ON f.feature_id = m.feature_id
+        |)""".stripMargin,
+      """rr7 AS (
+        |  SELECT *, CASE WHEN bankfull_flow > CAST(0.0 AS DOUBLE)
+        |         THEN (CASE WHEN ratio0 <= CAST(1.0 AS DOUBLE) THEN ratio0
+        |               ELSE CAST(1.0 AS DOUBLE) END)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS chann_volume_ratio
+        |  FROM rt7
+        |)""".stripMargin,
+      """cc7 AS (
+        |  SELECT *, chann_volume_ratio * vm_channel_n
+        |    + (CAST(1.0 AS DOUBLE) - chann_volume_ratio) * vm_overbank_n AS comp_n
+        |  FROM rr7
+        |)""".stripMargin): _*)(
+      """SELECT hydroid, feature_id, i, stage, chann_volume_ratio,
+        |  CAST(CASE WHEN comp_n IS NOT NULL THEN 1 ELSE 0 END AS INT) AS vmann_on,
+        |  CASE WHEN comp_n IS NOT NULL THEN comp_n ELSE channel_n END AS vmann_manning_n,
+        |  CASE WHEN comp_n IS NULL THEN discharge_cms
+        |       WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
+        |       THEN wet_area * yf * sqrt(slope) / comp_n
+        |       ELSE CAST(0.0 AS DOUBLE) END AS vmann_discharge_cms
+        |FROM cc7""".stripMargin),
+
+    "q108_interp_wse" -> withCtes(
+      """g108 AS (
+        |  SELECT r.x * 144 + c.x AS gid, r.x AS r, c.x AS c,
+        |    ((r.x * 31 + c.x * 17) % 400) / CAST(4.0 AS DOUBLE)
+        |      + r.x / CAST(4.0 AS DOUBLE) AS elev,
+        |    CASE WHEN (r.x * 7 + c.x * 3) % 5 <> 0 THEN 1 ELSE 0 END AS valid,
+        |    ((r.x * 31 + c.x * 17) % 400) / CAST(4.0 AS DOUBLE)
+        |      + r.x / CAST(4.0 AS DOUBLE)
+        |      + ((r.x * 5 + c.x * 11) % 8) / CAST(4.0 AS DOUBLE) AS wse
+        |  FROM generate_series(0, 143) r(x), generate_series(0, 143) c(x)
+        |)""".stripMargin,
+      """pr8 AS (
+        |  SELECT g.gid,
+        |    CAST((v.r - g.r) * (v.r - g.r) + (v.c - g.c) * (v.c - g.c) AS BIGINT) AS d2,
+        |    CAST(v.wse * 4 AS BIGINT) AS vq
+        |  FROM g108 g JOIN g108 v ON g.valid = 0 AND v.valid = 1
+        |    AND v.r BETWEEN g.r - 4 AND g.r + 4
+        |    AND v.c BETWEEN g.c - 4 AND g.c + 4
+        |)""".stripMargin,
+      """ag8 AS (
+        |  SELECT gid,
+        |    CAST(sum(CAST(floor(CAST(1048576.0 AS DOUBLE) / CAST(d2 AS DOUBLE)) AS BIGINT) * vq) AS BIGINT) AS num,
+        |    CAST(sum(CAST(floor(CAST(1048576.0 AS DOUBLE) / CAST(d2 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS den
+        |  FROM pr8 GROUP BY gid
+        |)""".stripMargin)(
+      """SELECT g.gid, CAST(g.valid AS INT) AS valid,
+        |  CASE WHEN g.valid = 1 THEN g.wse
+        |       WHEN a.den IS NOT NULL
+        |       THEN CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / CAST(4.0 AS DOUBLE)
+        |       ELSE CAST(-9999.0 AS DOUBLE) END AS wse_filled,
+        |  CASE WHEN g.valid = 0 AND a.den IS NULL THEN CAST(-9999.0 AS DOUBLE)
+        |       ELSE (CASE WHEN g.valid = 1 THEN g.wse
+        |             ELSE CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / CAST(4.0 AS DOUBLE) END)
+        |            - g.elev END AS depth
+        |FROM g108 g LEFT JOIN ag8 a ON g.gid = a.gid""".stripMargin),
+
+    "q109_flood_impact" -> withCtes(pts, asg, ht, fc, stg, til, mos, net,
+      "wetb AS (SELECT cell FROM mos WHERE depth_max > CAST(0.5 AS DOUBLE))",
+      "wett AS (SELECT cell FROM mos WHERE depth_max > CAST(0.25 AS DOUBLE) AND cell % 7 <> 3)",
+      """stc AS (
+        |  SELECT objectid, 'structure' AS ftype,
+        |    12 * 72057594037927936
+        |      + CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT) * 268435456
+        |      + CAST(floor((lng + 180.0) / 360.0 * 8192.0) AS BIGINT) AS cell
+        |  FROM (SELECT objectid,
+        |          CASE WHEN pid % 5 = 0 THEN 40.0 + ((pid * 131 + 17) % 2000) / 1000.0
+        |               ELSE ((pid * 48271 + 11) % 160000) / 1000.0 - 80.0 END AS lat,
+        |          CASE WHEN pid % 5 = 0 THEN -74.0 + ((pid * 137 + 29) % 2000) / 1000.0
+        |               ELSE ((pid * 69621 + 7) % 360000) / 1000.0 - 180.0 END AS lng
+        |        FROM (SELECT x AS objectid, x * 13 + 7 AS pid
+        |              FROM generate_series(0, 4999) t(x)))
+        |)""".stripMargin,
+      """rd0 AS (
+        |  SELECT hydroid,
+        |    (CAST(floor(hydroid / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |      - CAST(90.0 AS DOUBLE) AS from_lat,
+        |    ((hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE)
+        |      - CAST(180.0 AS DOUBLE) AS from_lng,
+        |    CASE WHEN to_node < 0
+        |      THEN (CAST(floor(hydroid / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |           - CAST(90.0 AS DOUBLE) - CAST(1.25 AS DOUBLE)
+        |      ELSE (CAST(floor(to_node / 144) AS BIGINT) + CAST(0.5 AS DOUBLE)) * CAST(1.25 AS DOUBLE)
+        |           - CAST(90.0 AS DOUBLE) END AS to_lat,
+        |    CASE WHEN to_node < 0
+        |      THEN ((hydroid % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE) - CAST(180.0 AS DOUBLE)
+        |      ELSE ((to_node % 144) + CAST(0.5 AS DOUBLE)) * CAST(2.5 AS DOUBLE) - CAST(180.0 AS DOUBLE)
+        |    END AS to_lng
+        |  FROM net
+        |)""".stripMargin,
+      """rds AS (
+        |  SELECT hydroid AS objectid, 'road' AS ftype,
+        |    12 * 72057594037927936
+        |      + CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT) * 268435456
+        |      + CAST(floor((lng + 180.0) / 360.0 * 8192.0) AS BIGINT) AS cell
+        |  FROM (SELECT hydroid,
+        |          from_lat + (j.j / CAST(4.0 AS DOUBLE)) * (to_lat - from_lat) AS lat,
+        |          from_lng + (j.j / CAST(4.0 AS DOUBLE)) * (to_lng - from_lng) AS lng
+        |        FROM rd0 CROSS JOIN generate_series(0, 4) j(j))
+        |)""".stripMargin,
+      "fts AS (SELECT * FROM stc UNION ALL SELECT * FROM rds)",
+      """ib9 AS (SELECT DISTINCT f.objectid, f.ftype
+        |  FROM fts f JOIN wetb w ON f.cell = w.cell)""".stripMargin,
+      """it9 AS (SELECT DISTINCT f.objectid, f.ftype
+        |  FROM fts f JOIN wett w ON f.cell = w.cell)""".stripMargin,
+      """fo9 AS (
+        |  SELECT b.objectid IS NOT NULL AS in_b, t.objectid IS NOT NULL AS in_t,
+        |    coalesce(b.ftype, t.ftype) AS ftype
+        |  FROM ib9 b FULL JOIN it9 t
+        |    ON b.objectid = t.objectid AND b.ftype = t.ftype
+        |)""".stripMargin,
+      """cn9 AS (
+        |  SELECT count(CASE WHEN in_b AND ftype = 'structure' THEN 1 END) AS n_struct_bench,
+        |    count(CASE WHEN in_b AND ftype = 'road' THEN 1 END) AS n_road_bench,
+        |    count(CASE WHEN in_t AND ftype = 'structure' THEN 1 END) AS n_struct_test,
+        |    count(CASE WHEN in_t AND ftype = 'road' THEN 1 END) AS n_road_test,
+        |    count(CASE WHEN in_b THEN 1 END) AS tp,
+        |    count(CASE WHEN in_b AND NOT in_t THEN 1 END) AS fn,
+        |    count(CASE WHEN in_t AND NOT in_b THEN 1 END) AS fp
+        |  FROM fo9
+        |)""".stripMargin)(
+      """SELECT n_struct_bench, n_road_bench, n_struct_test, n_road_test, tp, fn, fp,
+        |  CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(fp AS DOUBLE)) AS csi
+        |FROM cn9""".stripMargin),
+
+    "q110_deep_flooding" -> withCtes(pts, asg, ht, fc, stg, til, mos, mrects,
+      """mc10 AS (
+        |  SELECT cell, depth_max,
+        |    (((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS clat,
+        |    ((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS clng
+        |  FROM mos
+        |)""".stripMargin,
+      """df10 AS (
+        |  SELECT m.mask_id, c.depth_max
+        |  FROM mc10 c JOIN mrects m
+        |    ON c.clat >= m.lat_min AND c.clat < m.lat_max
+        |   AND c.clng >= m.lng_min AND c.clng < m.lng_max
+        |)""".stripMargin,
+      """ag10 AS (
+        |  SELECT mask_id, count(*) AS n_cells,
+        |    count(CASE WHEN depth_max > CAST(2.0 AS DOUBLE) THEN 1 END) AS n_deep,
+        |    max(CASE WHEN depth_max > CAST(2.0 AS DOUBLE) THEN depth_max END) AS max_deep
+        |  FROM df10 GROUP BY mask_id
+        |)""".stripMargin)(
+      """SELECT mask_id, n_cells, n_deep, max_deep,
+        |  CAST(n_deep AS DOUBLE) / CAST(n_cells AS DOUBLE) * CAST(100.0 AS DOUBLE) AS pct_deep
+        |FROM ag10""".stripMargin),
 
     "q91_bridge_flows" -> {
       def interpSql(t: String): String =

@@ -237,14 +237,22 @@ object Agreement {
       .select(col("hydroid"), col("huc8"), explode(array(rows: _*)).as("r"))
       .select(col("hydroid"), col("huc8"), col("r.*"))
       .filter(col("tn") + col("fn") + col("fp") + col("tp") > 0)
+    contingencyMetricSelect(melted,
+      Seq(col("hydroid"), col("huc8"), col("bench"), col("mag")), cellAreaM2)
+  }
+
+  /** The shared per-row metric projection over contingency-count columns
+    * (tn/fn/fp/tp/masked) — NA (NULL) when a metric's denominator is zero,
+    * with identical guard conditions in the oracle. Used by
+    * [[alphaByHydroId]] (per-catchment grain) and [[aggregateMetrics]]
+    * (summed national grain). */
+  private def contingencyMetricSelect(melted: DataFrame, keyCols: Seq[Column],
+      cellAreaM2: Double): DataFrame = {
     val tp = col("tp").cast("double"); val tn = col("tn").cast("double")
     val fp = col("fp").cast("double"); val fn = col("fn").cast("double")
     val totD = (col("tn") + col("fn") + col("fp") + col("tp")).cast("double")
     val aref = (tp + fp) * (tp + fn) / totD
-    // NA (NULL) when the metric's denominator is zero — identical guard
-    // conditions in the oracle, so both engines agree bit-for-bit
-    melted.select(
-      col("hydroid"), col("huc8"), col("bench"), col("mag"),
+    melted.select(keyCols ++ Seq(
       col("tn"), col("fn"), col("fp"), col("tp"), col("masked"),
       (totD * lit(cellAreaM2) / lit(1000000.0)).as("contingency_tot_area_km2"),
       when(tp + fp + fn =!= 0.0, tp / (tp + fp + fn)).as("csi"),
@@ -264,7 +272,28 @@ object Agreement {
       when(tp + fn =!= 0.0, (tp + fp) / (tp + fn)).as("bias"),
       when(tp * 2 + fp + fn =!= 0.0, tp * 2 / (tp * 2 + fp + fn)).as("f1_score"),
       (col("masked").cast("double") / (totD + col("masked").cast("double")) * 100)
-        .as("masked_perc"))
+        .as("masked_perc")): _*)
+  }
+
+  /** National metric rollup (q106) — `tools/aggregate_metrics.py:203-307`:
+    * the reference sums the per-test-case contingency-count JSONs per
+    * magnitude and recomputes the full metric family over the summed
+    * counts (NOT an average of per-case metrics — the counts aggregate,
+    * the ratios don't). The engine mirrors that shape exactly: the
+    * [[alphaByHydroId]] per-catchment counts are summed per (benchmark,
+    * magnitude) — a 20 k-row second-stage aggregate, negligible next to
+    * the one fact-table pass both share — and the same guarded metric
+    * projection runs over the sums. `n_cases` is the reference's
+    * "aggregated metrics over N test cases" count. */
+  def aggregateMetrics(spark: SparkSession, mosaic: DataFrame,
+      cellAreaM2: Double = 100.0): DataFrame = {
+    val summed = alphaByHydroId(spark, mosaic, cellAreaM2)
+      .groupBy(col("bench"), col("mag"))
+      .agg(sum(col("tn")).as("tn"), sum(col("fn")).as("fn"),
+        sum(col("fp")).as("fp"), sum(col("tp")).as("tp"),
+        sum(col("masked")).as("masked"), count(lit(1)).as("n_cases"))
+    contingencyMetricSelect(summed,
+      Seq(col("bench"), col("mag"), col("n_cases")), cellAreaM2)
   }
 
   /** The 7 headline metric names in [[metricCols]] order, with each stat's

@@ -615,4 +615,55 @@ object Calibration {
           .as("discharge_cms"),
         col("donor_id").cast("long").as("donor_id"), col("is_small"))
   }
+
+  /** Composite variable Manning's roughness (q107) —
+    * `tools/vary_mannings_n_composite.py:41-185` +
+    * `src/identify_src_bankfull.py:159-171` (the channel-volume ratio the
+    * routine composites on):
+    *
+    *  - ratio = 1 at stage 0, else Volume_bankfull / Volume capped at 1,
+    *    forced to 0 when the bankfull flow estimate is non-positive.
+    *  - an external roughness table (channel_n, overbank_n per feature_id,
+    *    deterministically INCOMPLETE — every 17th feature missing) is
+    *    broadcast-merged; comp_n = ratio·channel_n + (1−ratio)·overbank_n.
+    *  - vmann_on marks rows with a composite; discharge is recomputed via
+    *    Manning with comp_n where on, and falls back to the original
+    *    discharge and roughness where the merge missed
+    *    (`vary_mannings_n_composite.py:152-158` np.where resets).
+    *
+    * One broadcast of the bankfull dimension, one broadcast of the
+    * roughness table, per-row algebra everywhere else — the knot table
+    * never shuffles. */
+  def variableMannings(spark: SparkSession): DataFrame = {
+    val src = srcGeom(spark)
+    val bf = bankfull(src).select("hydroid", "volume_bankfull")
+    val mann = spark.range(0, (Synth.CatRows * Synth.CatCols).toLong)
+      .select((col("id") + 1000000L).as("feature_id"))
+      .filter(col("feature_id") % 17 =!= 4)
+      .withColumn("vm_channel_n", lit(0.02) + (col("feature_id") % 9) * lit(0.005))
+      .withColumn("vm_overbank_n", lit(0.08) + (col("feature_id") % 5) * lit(0.02))
+    val base = fullGeom(src)
+      .join(broadcast(bf), Seq("hydroid"))
+      .join(broadcast(mann), Seq("feature_id"), "left")
+      .withColumn("ratio0",
+        when(col("stage") === 0.0, lit(1.0))
+          .otherwise(col("volume_bankfull") / col("volume")))
+      .withColumn("chann_volume_ratio",
+        when(col("bankfull_flow") > 0.0,
+          when(col("ratio0") <= 1.0, col("ratio0")).otherwise(lit(1.0)))
+          .otherwise(lit(0.0)))
+      .withColumn("comp_n",
+        col("chann_volume_ratio") * col("vm_channel_n")
+          + (lit(1.0) - col("chann_volume_ratio")) * col("vm_overbank_n"))
+      .withColumn("vmann_on", col("comp_n").isNotNull)
+    base.select(col("hydroid"), col("feature_id"), col("i").cast("long").as("i"),
+      col("stage"), col("chann_volume_ratio"),
+      col("vmann_on").cast("int").as("vmann_on"),
+      when(col("vmann_on"), col("comp_n")).otherwise(col("channel_n"))
+        .as("vmann_manning_n"),
+      when(!col("vmann_on"), col("discharge_cms"))
+        .otherwise(when(col("hydraulic_radius") > 0.0,
+          col("wet_area") * col("yf") * sqrt(col("slope")) / col("comp_n"))
+          .otherwise(lit(0.0))).as("vmann_discharge_cms"))
+  }
 }

@@ -59,22 +59,35 @@ object Terrain {
     * and the argmin is min(d² · 2²⁰ + candidate gid) — deterministic
     * (lowest gid wins ties) and exact (d² ≤ 2·Rad², gid < 2²⁰). Returns
     * (gid, packed). */
-  private def nearest(cells: DataFrame, candidates: DataFrame): DataFrame = {
-    val halo = candidates.select(col("gid").as("vgid"), col("r").as("vr"), col("c").as("vc"))
+  /** All (cell, candidate) pairs within Chebyshev radius `rad` via the
+    * block-halo equi-join (candidates exploded to their own + 8 neighbor
+    * 8×8 blocks; `rad` must be < 8). Candidate columns beyond (gid, r, c)
+    * pass through untouched; (gid, r, c) arrive as (vgid, vr, vc) next to
+    * the probe cell's own, plus the exact integer `d2`. */
+  private def haloPairs(cells: DataFrame, candidates: DataFrame,
+      rad: Int): DataFrame = {
+    require(rad < 8, s"halo covers one block ring only (rad=$rad)")
+    val extra = candidates.columns.filterNot(Set("gid", "r", "c")).toSeq
+    val halo = candidates
+      .select(col("gid").as("vgid") +: col("r").as("vr") +: col("c").as("vc")
+        +: extra.map(col): _*)
       .withColumn("dbr", explode(array((-1 to 1).map(lit): _*)))
       .withColumn("dbc", explode(array((-1 to 1).map(lit): _*)))
-      .select((expr("vr div 8") + col("dbr")).cast("int").as("br"),
-        (expr("vc div 8") + col("dbc")).cast("int").as("bc"),
-        col("vgid"), col("vr"), col("vc"))
+      .select((expr("vr div 8") + col("dbr")).cast("int").as("br") +:
+        (expr("vc div 8") + col("dbc")).cast("int").as("bc") +:
+        col("vgid") +: col("vr") +: col("vc") +: extra.map(col): _*)
     cells.select(col("gid"), col("r"), col("c"),
       expr("r div 8").cast("int").as("br"), expr("c div 8").cast("int").as("bc"))
       .join(halo, Seq("br", "bc"))
-      .filter(abs(col("vr") - col("r")) <= Rad && abs(col("vc") - col("c")) <= Rad)
-      .groupBy(col("gid"))
-      .agg(min(((col("vr") - col("r")) * (col("vr") - col("r"))
-        + (col("vc") - col("c")) * (col("vc") - col("c"))).cast("long") * lit(1048576L)
-        + col("vgid")).as("packed"))
+      .filter(abs(col("vr") - col("r")) <= rad && abs(col("vc") - col("c")) <= rad)
+      .withColumn("d2", ((col("vr") - col("r")) * (col("vr") - col("r"))
+        + (col("vc") - col("c")) * (col("vc") - col("c"))).cast("long"))
   }
+
+  private def nearest(cells: DataFrame, candidates: DataFrame): DataFrame =
+    haloPairs(cells, candidates.select("gid", "r", "c"), Rad)
+      .groupBy(col("gid"))
+      .agg(min(col("d2") * lit(1048576L) + col("vgid")).as("packed"))
 
   /** AGREE stream burn (q100) — `src/agreedem.py:10-331`, all eight
     * Hellweger steps as one relational plan:
@@ -184,5 +197,44 @@ object Terrain {
         col("hand").as("dem"),
         when(col("zmin").isNull, lit(ndv))
           .otherwise(col("hand") - col("zmin")).as("rem"))
+  }
+
+  /** Water-surface interpolation + depth (q108) —
+    * `tools/interpolate_water_surface.py:15-80` (`fillnodata` over the WSE
+    * raster within a max search distance, then depth = WSE − DEM):
+    * nodata cells take the inverse-distance-weighted mean of the valid
+    * cells within Chebyshev radius 4, computed EXACTLY — weights are the
+    * integer floor(2²⁰ / d²), values are exact quarter-unit integers, so
+    * both Σw·v and Σw are order-insensitive BIGINT sums and the single
+    * final division is bit-identical on any engine and any partitioning
+    * (a naive double Σ(v/d²) would be partition-order-dependent). Cells
+    * with no valid cell in range keep nodata (the reference's
+    * max_search_distance semantics). Same halo-join scale shape as
+    * [[agreeBurn]]: candidates per cell bounded by the radius, linear in
+    * cells, shards by block key. */
+  def interpolateWse(spark: SparkSession, radius: Int = 4,
+      ndv: Double = -9999.0): DataFrame = {
+    val g = grid(spark)
+      .withColumn("valid", ((col("r") * 7 + col("c") * 3) % 5 =!= 0).cast("int"))
+      .withColumn("wse",
+        col("elev") + ((col("r") * 5 + col("c") * 11) % 8) / lit(4.0))
+      .cache()
+    val fill = haloPairs(g.filter(col("valid") === 0),
+      g.filter(col("valid") === 1)
+        .select(col("gid"), col("r"), col("c"),
+          (col("wse") * 4).cast("long").as("vq")), radius)
+      .withColumn("w", floor(lit(1048576.0) / col("d2").cast("double")).cast("long"))
+      .groupBy(col("gid"))
+      .agg(sum(col("w") * col("vq")).as("num"), sum(col("w")).as("den"))
+    g.join(fill, Seq("gid"), "left")
+      .select(col("gid"), col("valid"),
+        when(col("valid") === 1, col("wse"))
+          .when(col("den").isNotNull,
+            col("num").cast("double") / col("den").cast("double") / lit(4.0))
+          .otherwise(lit(ndv)).as("wse_filled"),
+        when(col("valid") === 0 && col("den").isNull, lit(ndv))
+          .otherwise((when(col("valid") === 1, col("wse"))
+            .otherwise(col("num").cast("double") / col("den").cast("double") / lit(4.0)))
+            - col("elev")).as("depth"))
   }
 }
