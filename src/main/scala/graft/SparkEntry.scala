@@ -748,6 +748,19 @@ object SparkEntry {
     "q110_deep_flooding" -> ((s, dir) =>
       Impact.deepFlooding(s, Inundate.run(s, dir))),
 
+    // levee burn-in: NLD crest grid maximum-composited into the DEM
+    "q111_levee_burn" -> ((s, _) => Terrain.burnInLevees(s)),
+
+    // catchment-boundary inundation errors: wet cells whose dry 4-neighbor
+    // lies in a DIFFERENT catchment (HAND truncation artifacts)
+    "q112_boundary_errors" -> ((s, dir) =>
+      Impact.catchmentBoundaryErrors(s, Inundate.run(s, dir))),
+
+    // missing-FIM analysis: zero-REM seed cells + thalweg-notch HydroIDs
+    // per stream order
+    "q113_missing_fim" -> ((s, dir) =>
+      Impact.missingFim(s, SpatialJoin.assign(s, Synth.points(s, dir)))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1901,6 +1914,84 @@ object SparkEntry {
       """SELECT mask_id, n_cells, n_deep, max_deep,
         |  CAST(n_deep AS DOUBLE) / CAST(n_cells AS DOUBLE) * CAST(100.0 AS DOUBLE) AS pct_deep
         |FROM ag10""".stripMargin),
+
+    "q111_levee_burn" -> withCtes(
+      """g111 AS (
+        |  SELECT r.x * 144 + c.x AS gid, r.x AS r, c.x AS c,
+        |    ((r.x * 31 + c.x * 17) % 400) / CAST(4.0 AS DOUBLE)
+        |      + r.x / CAST(4.0 AS DOUBLE) AS elev
+        |  FROM generate_series(0, 143) r(x), generate_series(0, 143) c(x)
+        |)""".stripMargin,
+      """n111 AS (
+        |  SELECT gid, elev,
+        |    CASE WHEN r % 24 = 6
+        |      THEN elev + ((r * 3 + c * 7) % 20) / CAST(4.0 AS DOUBLE) + CAST(2.0 AS DOUBLE)
+        |      ELSE CAST(-9999.0 AS DOUBLE) END AS nld
+        |  FROM g111
+        |)""".stripMargin)(
+      "SELECT gid, elev, nld, greatest(elev, nld) AS burned_elev FROM n111"),
+
+    "q112_boundary_errors" -> withCtes(pts, asg, ht, fc, stg, til, mos,
+      "wetc AS (SELECT cell FROM mos WHERE depth_max > CAST(0.0 AS DOUBLE))",
+      """nb12 AS (
+        |  SELECT cell, 12 * 72057594037927936
+        |    + (((cell // 268435456) % 268435456) + dr) * 268435456
+        |    + ((cell % 268435456) + dc) AS ncell
+        |  FROM wetc CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dr, dc)
+        |)""".stripMargin,
+      """dr12 AS (
+        |  SELECT n.cell, n.ncell FROM nb12 n
+        |  LEFT JOIN wetc w ON n.ncell = w.cell WHERE w.cell IS NULL
+        |)""".stripMargin,
+      """hy12 AS (
+        |  SELECT cell, ncell,
+        |    (((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS clat,
+        |    ((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS clng,
+        |    (((ncell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS nlat,
+        |    ((ncell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS nlng
+        |  FROM dr12
+        |)""".stripMargin,
+      """er12 AS (
+        |  SELECT CAST(floor((clat + 90.0) / 1.25) AS BIGINT) * 144
+        |           + CAST(floor((clng + 180.0) / 2.5) AS BIGINT) AS hydroid,
+        |    cell
+        |  FROM hy12
+        |  WHERE nlat >= CAST(-90.0 AS DOUBLE) AND nlat < CAST(90.0 AS DOUBLE)
+        |    AND nlng >= CAST(-180.0 AS DOUBLE) AND nlng < CAST(180.0 AS DOUBLE)
+        |    AND (CAST(floor((clat + 90.0) / 1.25) AS BIGINT) * 144
+        |           + CAST(floor((clng + 180.0) / 2.5) AS BIGINT))
+        |        <> (CAST(floor((nlat + 90.0) / 1.25) AS BIGINT) * 144
+        |           + CAST(floor((nlng + 180.0) / 2.5) AS BIGINT))
+        |)""".stripMargin)(
+      """SELECT hydroid, count(DISTINCT cell) AS n_error_cells
+        |FROM er12 GROUP BY hydroid HAVING count(DISTINCT cell) >= 3""".stripMargin),
+
+    "q113_missing_fim" -> withCtes(pts, asg,
+      """zm AS (
+        |  SELECT hydroid, min(hand) AS zmin FROM asg WHERE pid % 23 = 1
+        |  GROUP BY hydroid
+        |)""".stripMargin,
+      """rm13 AS (
+        |  SELECT a.pid, a.hydroid,
+        |    CASE WHEN z.zmin IS NULL THEN CAST(-9999.0 AS DOUBLE)
+        |         ELSE a.hand - z.zmin END AS rem
+        |  FROM asg a LEFT JOIN zm z ON a.hydroid = z.hydroid
+        |)""".stripMargin,
+      """ph13 AS (
+        |  SELECT CAST(hydroid % 8 + 1 AS INT) AS order_, hydroid,
+        |    count(*) AS n_cells,
+        |    count(CASE WHEN rem = CAST(0.0 AS DOUBLE) THEN 1 END) AS n_rem0
+        |  FROM rm13 GROUP BY 1, 2
+        |)""".stripMargin,
+      "tt13 AS (SELECT count(*) AS n_total FROM rm13)")(
+      """SELECT order_, count(*) AS n_hydroids,
+        |  CAST(sum(n_cells) AS BIGINT) AS n_cells,
+        |  CAST(sum(n_rem0) AS BIGINT) AS n_rem0_cells,
+        |  count(CASE WHEN n_rem0 = 0 THEN 1 END) AS n_notch_hydroids,
+        |  CAST(CAST(sum(n_rem0) AS BIGINT) AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    * CAST(100.0 AS DOUBLE) AS pct_rem0
+        |FROM ph13 CROSS JOIN tt13
+        |GROUP BY order_, n_total""".stripMargin),
 
     "q91_bridge_flows" -> {
       def interpSql(t: String): String =

@@ -569,15 +569,21 @@ object Calibration {
     * one upstream aggregation; replacement is two broadcast joins (the
     * small-reach table and the donor-curve subset are both tiny). The knot
     * table itself never shuffles. */
-  def resetMannings(spark: SparkSession, reachesDf: DataFrame,
-                    mannings: Double = 0.06): DataFrame = {
-    val src2 = fullGeom(srcGeom(spark))
-      .select(col("hydroid"), col("i").cast("long").as("i"), col("stage"),
-        manningQ(lit(mannings)).as("q_reset"))
-    val rs = reachesDf.select(col("hydroid"), col("order_"), col("length_km"),
-      col("to_node"),
-      (((col("hydroid") * 7 + 3) % 40) / lit(20.0)).as("areasqkm"),
-      (col("hydroid") % 97 === 0).as("is_lake"))
+  /** The donor resolution of `identify_small_reaches` +
+    * `replace_discharges_of_small_segments`, as a closed form over a reach
+    * table with (hydroid, order_, length_km, to_node, areasqkm, is_lake).
+    * Returns (hydroid, donor_id, is_small): donor_id is the reach whose
+    * ORIGINAL curve the reference's in-place id-ordered loop ends up
+    * writing — upstream donors (higher id) are processed later so their
+    * originals apply; a small HEADWATER's downstream donor (lower id) was
+    * already replaced, so the headwater receives that donor's own donor1
+    * (the depth-2 chain; longer chains cannot occur because every
+    * further link points upstream again). Package-private so the spec can
+    * drive the chain case with a crafted net — the synthetic net's area
+    * closed form makes it structurally unreachable (a small reach's
+    * same-column downstream sits 8 area-index slots away, outside the
+    * small band). */
+  private[ops] def smallSegmentDonors(rs: DataFrame): DataFrame = {
     val ups = rs.filter(col("to_node") >= 0)
       .groupBy(col("to_node").as("hydroid"))
       .agg(count(lit(1)).as("n_up"),
@@ -592,9 +598,7 @@ object Calibration {
             .otherwise(col("hydroid"))))
       .withColumn("headwater", col("n_up").isNull)
       .select(col("hydroid"), col("small"), col("donor1"), col("headwater"))
-    // depth-2 resolution: a small headwater whose downstream donor is also
-    // small takes THAT reach's donor (its replaced curve at loop time)
-    val d2 = dn1.as("a")
+    dn1.as("a")
       .join(broadcast(dn1.select(col("hydroid").as("donor1"),
         col("small").as("d_small"), col("donor1").as("d_donor1"))), Seq("donor1"), "left")
       .select(col("hydroid"),
@@ -602,6 +606,18 @@ object Calibration {
           .when(col("headwater") && col("d_small"), col("d_donor1"))
           .otherwise(col("donor1")).as("donor_id"),
         col("small").cast("int").as("is_small"))
+  }
+
+  def resetMannings(spark: SparkSession, reachesDf: DataFrame,
+                    mannings: Double = 0.06): DataFrame = {
+    val src2 = fullGeom(srcGeom(spark))
+      .select(col("hydroid"), col("i").cast("long").as("i"), col("stage"),
+        manningQ(lit(mannings)).as("q_reset"))
+    val rs = reachesDf.select(col("hydroid"), col("order_"), col("length_km"),
+      col("to_node"),
+      (((col("hydroid") * 7 + 3) % 40) / lit(20.0)).as("areasqkm"),
+      (col("hydroid") % 97 === 0).as("is_lake"))
+    val d2 = smallSegmentDonors(rs)
     val donorIds = d2.filter(col("donor_id").isNotNull)
       .select(col("donor_id")).distinct()
     val donorCurves = src2.join(broadcast(donorIds),

@@ -94,4 +94,75 @@ object Impact {
       .select(col("mask_id"), col("n_cells"), col("n_deep"), col("max_deep"),
         (col("n_deep").cast("double") / col("n_cells").cast("double") * lit(100.0))
           .as("pct_deep"))
+
+  /** Catchment-boundary inundation errors (q112) —
+    * `tools/identify_catchment_boundary.py:14-120`: where the inundation
+    * extent's boundary coincides with a catchment boundary, the HAND model
+    * has truncated the flood at an artificial edge. Cell form: a wet cell
+    * is an error cell when one of its 4-neighbors is DRY and belongs to a
+    * DIFFERENT catchment (the extent stops exactly at the catchment edge);
+    * errors are linked to the wet cell's HydroID and reported where the
+    * run length clears `minErrorCells` (the reference's min_error_length
+    * on the dissolved error lines). Both catchment lookups are the
+    * broadcast PIP join; the wet set shuffles once for the neighbor
+    * anti-lookup. */
+  def catchmentBoundaryErrors(spark: SparkSession, mosaic: DataFrame,
+      minErrorCells: Long = 3L): DataFrame = {
+    val wet = mosaic.filter(col("depth_max") > 0.0).select(col("cell"))
+    val row = Agreement.cellRow(col("cell"))
+    val c = Agreement.cellCol(col("cell"))
+    val base = lit(Cells.BaseRes.toLong << Cells.RES_BITS)
+    val step = lit(1L << Cells.ROW_BITS)
+    val nbrs = wet.select(col("cell"), explode(array(
+      base + (row + 1) * step + c,
+      base + (row - 1) * step + c,
+      base + row * step + (c + 1),
+      base + row * step + (c - 1))).as("ncell"))
+    val dry = nbrs.join(wet.select(col("cell").as("ncell"))
+      .withColumn("nwet", lit(1)), Seq("ncell"), "left")
+      .filter(col("nwet").isNull)
+    def assigned(df: DataFrame, cellCol: String, out: String): DataFrame =
+      SpatialJoin.assign(
+        df.withColumn("lat", Cells.centroidLatCol(col(cellCol), Cells.BaseRes))
+          .withColumn("lng", Cells.centroidLngCol(col(cellCol), Cells.BaseRes))
+          .withColumn("ccell",
+            Cells.cellToParentCol(col(cellCol), Cells.BaseRes, Cells.CoarseRes)),
+        graft.synth.Synth.catchmentCover(spark))
+        .withColumnRenamed("hydroid", out)
+        .drop("lat", "lng", "ccell", "feature_id", "huc8", "lake_id", "order_")
+    val err = assigned(assigned(dry, "cell", "hyd"), "ncell", "nhyd")
+      .filter(col("hyd") =!= col("nhyd"))
+    err.groupBy(col("hyd").cast("long").as("hydroid"))
+      .agg(countDistinct(col("cell")).as("n_error_cells"))
+      .filter(col("n_error_cells") >= minErrorCells)
+  }
+
+  /** Missing-FIM-cell analysis (q113) —
+    * `tools/analyze_for_missing_FIM_cells.py:31-141`: per stream order, how
+    * many catchment cells sit at REM 0 (the inundation seed set — cells
+    * that wet at any positive stage) and which HydroIDs have NO zero-REM
+    * cell at all ("thalweg notches" that can never inundate). The
+    * percentage uses the reference's global denominator (all catchment
+    * cells, `:74-76`), not a per-order one. Catchments whose REM is
+    * entirely nodata (no thalweg cell) count as notches. Two partial
+    * aggregations over the q102 REM table. */
+  def missingFim(spark: SparkSession, assigned: DataFrame): DataFrame = {
+    val remDf = Terrain.rem(assigned)
+    val perHyd = remDf
+      .withColumn("order_", (col("hydroid") % 8 + 1).cast("int"))
+      .groupBy(col("order_"), col("hydroid"))
+      .agg(count(lit(1)).as("n_cells"),
+        count(when(col("rem") === 0.0, 1)).as("n_rem0"))
+    val total = remDf.agg(count(lit(1)).as("n_total"))
+    perHyd.groupBy(col("order_"))
+      .agg(count(lit(1)).as("n_hydroids"),
+        sum(col("n_cells")).as("n_cells"),
+        sum(col("n_rem0")).as("n_rem0_cells"),
+        count(when(col("n_rem0") === 0, 1)).as("n_notch_hydroids"))
+      .crossJoin(broadcast(total))
+      .select(col("order_"), col("n_hydroids"), col("n_cells"),
+        col("n_rem0_cells"), col("n_notch_hydroids"),
+        (col("n_rem0_cells").cast("double") / col("n_total").cast("double")
+          * lit(100.0)).as("pct_rem0"))
+  }
 }

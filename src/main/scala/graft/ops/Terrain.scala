@@ -199,6 +199,21 @@ object Terrain {
           .otherwise(col("hand") - col("zmin")).as("rem"))
   }
 
+  /** Levee burn-in (q111) — `src/burn_in_levees.py:9-24`: the NLD levee
+    * crest grid is maximum-composited into the DEM
+    * (`np.maximum(dem, nld)` with nodata passed through as the large
+    * negative sentinel, which the maximum then ignores — the reference's
+    * exact formulation, reproduced with `greatest`). Levee crests run along
+    * sparse deterministic lines; everything is per-cell map work. */
+  def burnInLevees(spark: SparkSession, ndv: Double = -9999.0): DataFrame =
+    grid(spark)
+      .withColumn("nld",
+        when(col("r") % 24 === 6,
+          col("elev") + ((col("r") * 3 + col("c") * 7) % 20) / lit(4.0) + lit(2.0))
+          .otherwise(lit(ndv)))
+      .select(col("gid"), col("elev"), col("nld"),
+        greatest(col("elev"), col("nld")).as("burned_elev"))
+
   /** Water-surface interpolation + depth (q108) —
     * `tools/interpolate_water_surface.py:15-80` (`fillnodata` over the WSE
     * raster within a max search distance, then depth = WSE − DEM):

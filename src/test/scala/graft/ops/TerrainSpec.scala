@@ -105,6 +105,31 @@ class TerrainSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("small-segment donors: depth-2 chain and max-order tie-break (crafted net)") {
+    import spark.implicits._
+    // chain: 2 (small headwater) -> 1 (small) -> 0 (outlet, not small).
+    // The reference loop replaces 1 first (donor = its upstream 2, original
+    // values), then 2 (donor = downstream 1, ALREADY replaced) — so 2 ends
+    // up with 2's own original curve: donor_id(2) must be donor1(1) = 2.
+    // tie: 10 and 11 (same order) both flow into 3 (small) — first row in
+    // id order wins, donor_id(3) = 10.
+    val rs = Seq(
+      (0, 5, 2.0, -1, 1.0, false),
+      (1, 4, 1.0, 0, 0.1, false),
+      (2, 4, 1.0, 1, 0.1, false),
+      (3, 2, 1.0, -1, 0.1, false),
+      (10, 7, 2.0, 3, 1.0, false),
+      (11, 7, 2.0, 3, 1.0, false)
+    ).toDF("hydroid", "order_", "length_km", "to_node", "areasqkm", "is_lake")
+    val d = Calibration.smallSegmentDonors(rs).collect()
+      .map(r => r.getInt(0) -> (Option(r.get(1)), r.getInt(2))).toMap
+    assert(d(0) == (None, 0))
+    assert(d(1) == (Some(2), 1))  // single upstream donor, original values
+    assert(d(2) == (Some(2), 1))  // depth-2: downstream 1's donor1, not 1
+    assert(d(3) == (Some(10), 1)) // max-order tie -> lowest id
+    assert(d(10) == (None, 0) && d(11) == (None, 0))
+  }
+
   test("plan gate: AGREE nearest passes are hash joins + hash aggregates") {
     val df = Terrain.agreeBurn(spark)
     df.collect()
