@@ -840,6 +840,37 @@ object SparkEntry {
        |FROM $from""".stripMargin
   }
 
+  /** The hydraulic-geometry + Newton x^(2/3) oracle chain shared by
+    * q103/q104/q107 — mirrors [[graft.ops.Calibration]]'s `fullGeom`
+    * step for step (identical formula text, so the three queries cannot
+    * desynchronize from the Scala side or from each other). `fgSelect` is
+    * the SELECT prefix carrying whatever extra srcg columns the query
+    * needs alongside the shared geometry derivation. */
+  private def manningChainCtes(fgSelect: String): Seq[String] = Seq(
+    s"""fg AS (
+       |  SELECT $fgSelect,
+       |    bed_area / length_km / CAST(1000.0 AS DOUBLE) AS wetted_perimeter,
+       |    volume / length_km / CAST(1000.0 AS DOUBLE) AS wet_area
+       |  FROM srcg
+       |)""".stripMargin,
+    """fh AS (
+      |  SELECT *, CASE WHEN wetted_perimeter > CAST(0.0 AS DOUBLE)
+      |                 THEN wet_area / wetted_perimeter
+      |                 ELSE CAST(0.0 AS DOUBLE) END AS hydraulic_radius
+      |  FROM fg
+      |)""".stripMargin,
+    """fx AS (
+      |  SELECT *, CASE WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
+      |                 THEN hydraulic_radius * hydraulic_radius
+      |                 ELSE CAST(1.0 AS DOUBLE) END AS x2f
+      |  FROM fh
+      |)""".stripMargin,
+    "f0 AS (SELECT *, sqrt(sqrt(x2f)) AS yf FROM fx)") ++
+    (1 to 8).map(k =>
+      s"""f$k AS (SELECT * REPLACE (
+         |  (CAST(2.0 AS DOUBLE) * yf + x2f / (yf * yf)) / CAST(3.0 AS DOUBLE)
+         |    AS yf) FROM f${k - 1})""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
     "q01_geocode" -> withCtes(pts)("SELECT pid, lat, lng, hand FROM pts"),
 
@@ -1604,32 +1635,10 @@ object SparkEntry {
         |       ELSE a.hand - z.zmin END AS rem
         |FROM asg a LEFT JOIN zm z ON a.hydroid = z.hydroid""".stripMargin),
 
-    "q103_src_finalize" -> withCtes(Seq(srcg,
-      """fg AS (
-        |  SELECT hydroid, 1000000 + hydroid AS feature_id, i, stage, channel_n,
+    "q103_src_finalize" -> withCtes(srcg +: manningChainCtes(
+      """hydroid, 1000000 + hydroid AS feature_id, i, stage, channel_n,
         |    slope,
-        |    surface_area / length_km / CAST(1000.0 AS DOUBLE) AS top_width,
-        |    bed_area / length_km / CAST(1000.0 AS DOUBLE) AS wetted_perimeter,
-        |    volume / length_km / CAST(1000.0 AS DOUBLE) AS wet_area
-        |  FROM srcg
-        |)""".stripMargin,
-      """fh AS (
-        |  SELECT *, CASE WHEN wetted_perimeter > CAST(0.0 AS DOUBLE)
-        |                 THEN wet_area / wetted_perimeter
-        |                 ELSE CAST(0.0 AS DOUBLE) END AS hydraulic_radius
-        |  FROM fg
-        |)""".stripMargin,
-      """fx AS (
-        |  SELECT *, CASE WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
-        |                 THEN hydraulic_radius * hydraulic_radius
-        |                 ELSE CAST(1.0 AS DOUBLE) END AS x2f
-        |  FROM fh
-        |)""".stripMargin,
-      "f0 AS (SELECT *, sqrt(sqrt(x2f)) AS yf FROM fx)") ++
-      (1 to 8).map(k =>
-        s"""f$k AS (SELECT * REPLACE (
-           |  (CAST(2.0 AS DOUBLE) * yf + x2f / (yf * yf)) / CAST(3.0 AS DOUBLE)
-           |    AS yf) FROM f${k - 1})""".stripMargin): _*)(
+        |    surface_area / length_km / CAST(1000.0 AS DOUBLE) AS top_width""".stripMargin): _*)(
       """SELECT hydroid, feature_id, CAST(i AS BIGINT) AS i, stage, top_width,
         |  wetted_perimeter, wet_area, hydraulic_radius,
         |  CASE WHEN stage = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
@@ -1638,30 +1647,8 @@ object SparkEntry {
         |       ELSE CAST(0.0 AS DOUBLE) END AS discharge_cms
         |FROM f8""".stripMargin),
 
-    "q104_mannings_reset" -> withCtes(Seq(srcg, net,
-      """fg AS (
-        |  SELECT hydroid, i, stage, slope,
-        |    bed_area / length_km / CAST(1000.0 AS DOUBLE) AS wetted_perimeter,
-        |    volume / length_km / CAST(1000.0 AS DOUBLE) AS wet_area
-        |  FROM srcg
-        |)""".stripMargin,
-      """fh AS (
-        |  SELECT *, CASE WHEN wetted_perimeter > CAST(0.0 AS DOUBLE)
-        |                 THEN wet_area / wetted_perimeter
-        |                 ELSE CAST(0.0 AS DOUBLE) END AS hydraulic_radius
-        |  FROM fg
-        |)""".stripMargin,
-      """fx AS (
-        |  SELECT *, CASE WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
-        |                 THEN hydraulic_radius * hydraulic_radius
-        |                 ELSE CAST(1.0 AS DOUBLE) END AS x2f
-        |  FROM fh
-        |)""".stripMargin,
-      "f0 AS (SELECT *, sqrt(sqrt(x2f)) AS yf FROM fx)") ++
-      (1 to 8).map(k =>
-        s"""f$k AS (SELECT * REPLACE (
-           |  (CAST(2.0 AS DOUBLE) * yf + x2f / (yf * yf)) / CAST(3.0 AS DOUBLE)
-           |    AS yf) FROM f${k - 1})""".stripMargin) ++ Seq(
+    "q104_mannings_reset" -> withCtes(Seq(srcg, net) ++
+      manningChainCtes("hydroid, i, stage, slope") ++ Seq(
       """rq AS (
         |  SELECT hydroid, i, stage,
         |    CASE WHEN stage = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
@@ -1729,31 +1716,9 @@ object SparkEntry {
         |       THEN 62 ELSE 0 END AS INT) AS return_code
         |FROM gat""".stripMargin),
 
-    "q107_vary_mannings" -> withCtes(Seq(srcg, bfq,
-      """fg AS (
-        |  SELECT hydroid, 1000000 + hydroid AS feature_id, i, stage, slope,
-        |    channel_n, volume, bankfull_flow, discharge_cms,
-        |    bed_area / length_km / CAST(1000.0 AS DOUBLE) AS wetted_perimeter,
-        |    volume / length_km / CAST(1000.0 AS DOUBLE) AS wet_area
-        |  FROM srcg
-        |)""".stripMargin,
-      """fh AS (
-        |  SELECT *, CASE WHEN wetted_perimeter > CAST(0.0 AS DOUBLE)
-        |                 THEN wet_area / wetted_perimeter
-        |                 ELSE CAST(0.0 AS DOUBLE) END AS hydraulic_radius
-        |  FROM fg
-        |)""".stripMargin,
-      """fx AS (
-        |  SELECT *, CASE WHEN hydraulic_radius > CAST(0.0 AS DOUBLE)
-        |                 THEN hydraulic_radius * hydraulic_radius
-        |                 ELSE CAST(1.0 AS DOUBLE) END AS x2f
-        |  FROM fh
-        |)""".stripMargin,
-      "f0 AS (SELECT *, sqrt(sqrt(x2f)) AS yf FROM fx)") ++
-      (1 to 8).map(k =>
-        s"""f$k AS (SELECT * REPLACE (
-           |  (CAST(2.0 AS DOUBLE) * yf + x2f / (yf * yf)) / CAST(3.0 AS DOUBLE)
-           |    AS yf) FROM f${k - 1})""".stripMargin) ++ Seq(
+    "q107_vary_mannings" -> withCtes(Seq(srcg, bfq) ++ manningChainCtes(
+      """hydroid, 1000000 + hydroid AS feature_id, i, stage, slope,
+        |    channel_n, volume, bankfull_flow, discharge_cms""".stripMargin) ++ Seq(
       """mann AS (
         |  SELECT 1000000 + x AS feature_id,
         |    CAST(0.02 AS DOUBLE) + ((1000000 + x) % 9) * CAST(0.005 AS DOUBLE) AS vm_channel_n,
@@ -1889,7 +1854,9 @@ object SparkEntry {
         |  FROM fo9
         |)""".stripMargin)(
       """SELECT n_struct_bench, n_road_bench, n_struct_test, n_road_test, tp, fn, fp,
-        |  CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(fp AS DOUBLE)) AS csi
+        |  CASE WHEN tp + fn + fp <> 0
+        |       THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |  END AS csi
         |FROM cn9""".stripMargin),
 
     "q110_deep_flooding" -> withCtes(pts, asg, ht, fc, stg, til, mos, mrects,

@@ -69,8 +69,10 @@ object Impact {
       count(when(col("in_t") === 1 && col("ftype") === "structure", 1)).as("n_struct_test"),
       count(when(col("in_t") === 1 && col("ftype") === "road", 1)).as("n_road_test"),
       tp.as("tp"), fneg.as("fn"), fpos.as("fp"),
-      (tp.cast("double") / (tp.cast("double") + fneg.cast("double")
-        + fpos.cast("double"))).as("csi"))
+      // guarded like every other ratio: 0/0 would be Spark-NaN vs DuckDB-NULL
+      when(tp + fneg + fpos =!= 0,
+        tp.cast("double") / (tp.cast("double") + fneg.cast("double")
+          + fpos.cast("double"))).as("csi"))
   }
 
   /** Deep-flooding check (q110) — `tools/check_deep_flooding.py:20-78`: the
