@@ -105,6 +105,68 @@ class TerrainSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("halo-join nearest == brute force for EVERY cell (both AGREE passes)") {
+    val n = Terrain.GridN
+    def elev(r: Int, c: Int) = ((r * 31 + c * 17) % 400) / 4.0 + r / 4.0
+    def river(r: Int, c: Int) = c % 12 == 5 || r % 36 == 18
+    val riverCells = for {r <- 0 until n; c <- 0 until n if river(r, c)} yield (r, c)
+    // brute force over ALL candidates — no radius, no blocks
+    def nearest(cand: IndexedSeq[(Int, Int)], r: Int, c: Int): (Long, Long) =
+      cand.map { case (vr, vc) =>
+        val d2 = (vr - r).toLong * (vr - r) + (vc - c).toLong * (vc - c)
+        (d2, vr.toLong * n + vc)
+      }.min
+    val out = Terrain.agreeBurn(spark)
+      .select(col("gid"), col("vd2"), col("vgid"), col("bd2"), col("bgid"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.size == n * n)
+    // pass 1: nearest river cell
+    var checkedRim = 0
+    val rimCells = (for {r <- 0 until n; c <- 0 until n
+      if nearest(riverCells, r, c)._1 > 10} yield (r, c)).toIndexedSeq
+    for (r <- 0 until n; c <- 0 until n) {
+      val gid = r.toLong * n + c
+      val (vd2, vgid, bd2, bgid) = out(gid)
+      val (bvd2, bvgid) = nearest(riverCells, r, c)
+      assert(vd2 == bvd2 && vgid == bvgid, s"vect mismatch at ($r,$c)")
+      // pass 2: nearest rim cell, only probed for inside-buffer cells
+      if (bvd2 <= 10) {
+        val (bbd2, bbgid) = nearest(rimCells, r, c)
+        assert(bd2 == bbd2 && bgid == bbgid, s"buf mismatch at ($r,$c)")
+        checkedRim += 1
+      } else assert(bd2 == 0L && bgid == gid)
+    }
+    assert(checkedRim > 5000) // the inside-buffer set is substantial
+  }
+
+  test("IDW fill == brute-force exact integer weighting for EVERY nodata cell") {
+    val n = Terrain.GridN
+    def elev(r: Int, c: Int) = ((r * 31 + c * 17) % 400) / 4.0 + r / 4.0
+    def valid(r: Int, c: Int) = (r * 7 + c * 3) % 5 != 0
+    def wseQ(r: Int, c: Int) = // quarter units, exact integer
+      math.round((elev(r, c) + ((r * 5 + c * 11) % 8) / 4.0) * 4)
+    val out = Terrain.interpolateWse(spark)
+      .select(col("gid"), col("wse_filled")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    var checked = 0
+    for (r <- 0 until n; c <- 0 until n if !valid(r, c)) {
+      var num = 0L; var den = 0L
+      for (vr <- math.max(0, r - 4) to math.min(n - 1, r + 4);
+           vc <- math.max(0, c - 4) to math.min(n - 1, c + 4)
+           if valid(vr, vc)) {
+        val d2 = (vr - r).toLong * (vr - r) + (vc - c).toLong * (vc - c)
+        val w = math.floor(1048576.0 / d2.toDouble).toLong
+        num += w * wseQ(vr, vc); den += w
+      }
+      val expect = if (den == 0) -9999.0 else num.toDouble / den.toDouble / 4.0
+      val got = out(r.toLong * n + c)
+      assert(got == expect, s"IDW mismatch at ($r,$c): $got vs $expect")
+      checked += 1
+    }
+    assert(checked > 3000)
+  }
+
   test("small-segment donors: depth-2 chain and max-order tie-break (crafted net)") {
     import spark.implicits._
     // chain: 2 (small headwater) -> 1 (small) -> 0 (outlet, not small).
