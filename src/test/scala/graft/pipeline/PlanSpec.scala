@@ -110,6 +110,16 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("fingerprint: one partial-aggregating pass, NO window, no global sort") {
+    val plan = physical(graft.ops.TextOps.fingerprint(Synth.corpus(spark, sf0001)))
+    // the r4 window shape sorted every (doc_id, h) partition globally and went
+    // sub-linear at the ×64 corpus; the collect_set shape must never regress
+    assert(!plan.contains("Window"), "fingerprint regressed to a window:\n" + plan.take(3000))
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+    assert(plan.contains("partial_collect_set"), "k-min lost map-side combine:\n" + plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(3000))
+  }
+
   test("FR+MS composite: ONE scan of the fact table, one mosaic exchange, no union") {
     val plan = physical(Inundate.compositeMosaic(spark, sf0001))
     // the points scan + geocode/PIP chain is the 100 TB dominant cost — the
