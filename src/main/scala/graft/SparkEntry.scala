@@ -761,6 +761,15 @@ object SparkEntry {
     "q113_missing_fim" -> ((s, dir) =>
       Impact.missingFim(s, SpatialJoin.assign(s, Synth.points(s, dir)))),
 
+    // gval arbitrary pairing dictionary: 3-class depth candidate mapped to
+    // agreement codes by a broadcast pairing TABLE, not a hard-coded ladder
+    // (tools_shared_functions.py:442-455's configurable pairing_dictionary)
+    "q114_pairing_agreement" -> ((s, dir) =>
+      Agreement.agreementWithPairing(s, Inundate.run(s, dir),
+          when(col("depth_max") > 0.5, 2).when(col("depth_max") > 0.0, 1).otherwise(0),
+          Agreement.pairingTable(s, Agreement.DepthClassPairing))
+        .groupBy(col("agreement")).agg(count(lit(1)).as("n"))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1959,6 +1968,27 @@ object SparkEntry {
         |    * CAST(100.0 AS DOUBLE) AS pct_rem0
         |FROM ph13 CROSS JOIN tt13
         |GROUP BY order_, n_total""".stripMargin),
+
+    "q114_pairing_agreement" -> withCtes(pts, asg, ht, fc, stg, til, mos, mrects,
+      """pair AS (SELECT * FROM (VALUES (0,0,0), (0,1,1), (1,0,2), (1,1,3),
+        |  (2,0,4), (2,1,5), (4,0,6), (4,1,6)) v(cand, bench, agreement))""".stripMargin,
+      """cb AS (
+        |  SELECT cell,
+        |    CASE WHEN EXISTS (SELECT 1 FROM mrects m
+        |           WHERE clat >= m.lat_min AND clat < m.lat_max
+        |             AND clng >= m.lng_min AND clng < m.lng_max) THEN 4
+        |         WHEN depth_max > CAST(0.5 AS DOUBLE) THEN 2
+        |         WHEN depth_max > 0.0 THEN 1 ELSE 0 END AS cand,
+        |    CASE WHEN (((cell // 268435456) % 268435456) * 31 + (cell % 268435456) * 17) % 10 < 4
+        |         THEN 1 ELSE 0 END AS bench
+        |  FROM (SELECT cell, depth_max,
+        |          (((cell // 268435456) % 268435456) + CAST(0.5 AS DOUBLE)) / 4096.0 * 180.0 - 90.0 AS clat,
+        |          ((cell % 268435456) + CAST(0.5 AS DOUBLE)) / 8192.0 * 360.0 - 180.0 AS clng
+        |        FROM mos)
+        |)""".stripMargin)(
+      """SELECT p.agreement, count(*) AS n
+        |FROM cb JOIN pair p ON cb.cand = p.cand AND cb.bench = p.bench
+        |GROUP BY 1""".stripMargin),
 
     "q91_bridge_flows" -> {
       def interpSql(t: String): String =

@@ -63,6 +63,46 @@ object Agreement {
         .otherwise((col("depth_max") > 0).cast("int") * 2 + benchWet(col("cell")))
         .cast("int").as("agreement"))
 
+  /** The reference's DEFAULT pairing dictionary
+    * (`tools_shared_functions.py:442-455`): (candidate_class,
+    * benchmark_class) → agreement, candidate 4 = masked-by-polygon. The
+    * nodata rows ((·,10)/(10,·) → 10) are omitted — the synthetic mosaic has
+    * no nodata cells; [[graft.ops.Terrain]] owns nodata semantics. */
+  val DefaultPairing: Seq[(Int, Int, Int)] =
+    Seq((0, 0, 0), (0, 1, 1), (1, 0, 2), (1, 1, 3), (4, 0, 4), (4, 1, 4))
+
+  /** A non-default multi-threshold pairing (q114): candidate is a 3-class
+    * depth bin (0 dry / 1 shallow / 2 deep), agreement 0-5 = bin×bench,
+    * 6 = masked — the "custom class pairing" a gval user would pass. */
+  val DepthClassPairing: Seq[(Int, Int, Int)] =
+    Seq((0, 0, 0), (0, 1, 1), (1, 0, 2), (1, 1, 3), (2, 0, 4), (2, 1, 5),
+      (4, 0, 6), (4, 1, 6))
+
+  def pairingTable(spark: SparkSession, pairing: Seq[(Int, Int, Int)]): DataFrame = {
+    import spark.implicits._
+    pairing.toDF("cand", "bench", "agreement")
+  }
+
+  /** gval-style agreement from an ARBITRARY pairing dictionary — the
+    * generalized form of [[agreement]]: the (candidate, benchmark) →
+    * agreement map arrives as a TABLE (broadcast, a handful of rows), not a
+    * hard-coded `when`-ladder, so a user with a custom multi-class pairing
+    * passes data instead of extending Scala
+    * (`tools_shared_functions.py:442-455`'s configurable
+    * `pairing_dictionary`). Masking stays faithful to the reference: the
+    * candidate class is overwritten to 4 by the exclusion polygons and the
+    * pairing table itself decides what (4, ·) maps to. With
+    * [[DefaultPairing]] and a wet/dry candidate this reproduces
+    * [[agreement]] bit-for-bit (spec-asserted). */
+  def agreementWithPairing(spark: SparkSession, mosaic: DataFrame,
+      candidateClass: Column, pairing: DataFrame): DataFrame =
+    withMaskFlag(spark, mosaic)
+      .select(col("cell"),
+        when(col("mskd") === 1, lit(4)).otherwise(candidateClass).cast("int").as("cand"),
+        benchWet(col("cell")).cast("int").as("bench"))
+      .join(broadcast(pairing), Seq("cand", "bench"), "left")
+      .select(col("cell"), col("agreement").cast("int").as("agreement"))
+
   /** The reference's printworthy metric family from contingency-count
     * columns (`tools_shared_functions.py:1666-1689`): CSI, TPR, FAR, MCC,
     * ACC, F1, plus bias — exact double arithmetic from BIGINT counts,

@@ -134,4 +134,17 @@ class OpsSpec extends SparkTestBase {
       .select($"rule").distinct().as[String].collect()
     assert(selfDonor.toSeq === Seq("self"))
   }
+
+  test("pairing-table agreement with the default pairing == hard-coded ladder") {
+    val mosaic = graft.pipeline.Inundate.run(spark, sf0001)
+    val ladder = Agreement.agreement(spark, mosaic)
+    val paired = Agreement.agreementWithPairing(spark, mosaic,
+      (col("depth_max") > 0.0).cast("int"),
+      Agreement.pairingTable(spark, Agreement.DefaultPairing))
+    assert(paired.join(ladder, Seq("cell"))
+      .filter(paired("agreement") =!= ladder("agreement")).count() === 0)
+    assert(paired.count() === ladder.count())
+    // every cell got a class: the pairing table is total over (cand, bench)
+    assert(paired.filter(col("agreement").isNull).count() === 0)
+  }
 }
