@@ -761,6 +761,11 @@ object SparkEntry {
     "q113_missing_fim" -> ((s, dir) =>
       Impact.missingFim(s, SpatialJoin.assign(s, Synth.points(s, dir)))),
 
+    // AGREE over a holey DEM: the agreedem.py:230-238 allocation fallbacks
+    // (vectallo -> own elev - drop, bufallo -> own elev), exercised by a
+    // river-line gap and rim-blocking flank holes
+    "q115_agree_nodata" -> ((s, _) => Terrain.agreeBurnWithHoles(s)),
+
     // gval arbitrary pairing dictionary: 3-class depth candidate mapped to
     // agreement codes by a broadcast pairing TABLE, not a hard-coded ladder
     // (tools_shared_functions.py:442-455's configurable pairing_dictionary)
@@ -1989,6 +1994,73 @@ object SparkEntry {
       """SELECT p.agreement, count(*) AS n
         |FROM cb JOIN pair p ON cb.cand = p.cand AND cb.bench = p.bench
         |GROUP BY 1""".stripMargin),
+
+    "q115_agree_nodata" -> {
+      def elevSql(gid: String): String =
+        s"((($gid // 144) * 31 + ($gid % 144) * 17) % 400) / CAST(4.0 AS DOUBLE)" +
+          s" + ($gid // 144) / CAST(4.0 AS DOUBLE)"
+      def nnSql(probe: String, cand: String, filter: String): String =
+        s"""SELECT g.gid, min(CAST((v.r - g.r) * (v.r - g.r)
+           |    + (v.c - g.c) * (v.c - g.c) AS BIGINT) * 1048576 + v.gid) AS packed
+           |  FROM $probe g JOIN $cand v
+           |    ON $filter
+           |    AND v.r BETWEEN g.r - 6 AND g.r + 6
+           |    AND v.c BETWEEN g.c - 6 AND g.c + 6
+           |  GROUP BY g.gid""".stripMargin
+      withCtes(
+        """g115 AS (
+          |  SELECT r.x * 144 + c.x AS gid, r.x AS r, c.x AS c,
+          |    ((r.x * 31 + c.x * 17) % 400) / CAST(4.0 AS DOUBLE)
+          |      + r.x / CAST(4.0 AS DOUBLE) AS elev,
+          |    CASE WHEN c.x % 12 = 5 OR r.x % 36 = 18 THEN 1 ELSE 0 END AS river
+          |  FROM generate_series(0, 143) r(x), generate_series(0, 143) c(x)
+          |  WHERE NOT ((r.x BETWEEN 106 AND 118
+          |              AND (c.x BETWEEN 44 AND 49 OR c.x BETWEEN 57 AND 62))
+          |             OR (r.x BETWEEN 25 AND 47 AND c.x = 17))
+          |)""".stripMargin,
+        s"vnn115 AS (${nnSql("g115", "g115", "v.river = 1")})",
+        s"""vd115 AS (
+           |  SELECT g.*,
+           |    CASE WHEN v.gid IS NULL THEN 1 ELSE 0 END AS vfb,
+           |    v.packed // 1048576 AS vd2, v.packed % 1048576 AS vgid,
+           |    sqrt(CAST(v.packed // 1048576 AS DOUBLE)) AS vectdist,
+           |    CASE WHEN v.gid IS NULL THEN g.elev - CAST(10.0 AS DOUBLE)
+           |         ELSE ${elevSql("(v.packed % 1048576)")} - CAST(10.0 AS DOUBLE) END AS vectallo,
+           |    CASE WHEN v.gid IS NULL
+           |           OR CAST(v.packed // 1048576 AS DOUBLE) > CAST(10.5625 AS DOUBLE)
+           |         THEN 1 ELSE 0 END AS outside
+           |  FROM g115 g LEFT JOIN vnn115 v ON g.gid = v.gid
+           |)""".stripMargin,
+        s"bnn115 AS (${nnSql("(SELECT * FROM vd115 WHERE outside = 0)",
+          "(SELECT * FROM vd115 WHERE outside = 1)", "1 = 1")})",
+        s"""bb115 AS (
+           |  SELECT t.*,
+           |    CASE WHEN t.outside = 0 AND b.gid IS NULL THEN 1 ELSE 0 END AS bfb,
+           |    CASE WHEN t.outside = 1 OR b.gid IS NULL THEN 0
+           |         ELSE b.packed // 1048576 END AS bd2,
+           |    CASE WHEN b.gid IS NULL THEN t.gid ELSE b.packed % 1048576 END AS bgid
+           |  FROM vd115 t LEFT JOIN bnn115 b ON t.gid = b.gid
+           |)""".stripMargin,
+        s"""f115 AS (
+           |  SELECT *, sqrt(CAST(bd2 AS DOUBLE)) AS bufdist,
+           |    ${elevSql("bgid")} AS bufallo
+           |  FROM bb115
+           |)""".stripMargin,
+        """s115 AS (
+          |  SELECT *,
+          |    CASE WHEN bufdist + vectdist = CAST(0.0 AS DOUBLE) THEN vectallo
+          |         ELSE vectallo + (bufallo - vectallo) / (bufdist + vectdist) * vectdist
+          |    END AS smoelev
+          |  FROM f115
+          |)""".stripMargin)(
+        """SELECT gid, CAST(river AS INT) AS river, elev, CAST(vfb AS INT) AS vfb,
+          |  vd2, vgid, vectallo, CAST(bfb AS INT) AS bfb, bd2, bgid, bufallo,
+          |  smoelev,
+          |  CASE WHEN river = 1 THEN smoelev - CAST(1000.0 AS DOUBLE)
+          |       WHEN outside = 1 THEN elev
+          |       ELSE smoelev END AS agree_elev
+          |FROM s115""".stripMargin)
+    },
 
     "q91_bridge_flows" -> {
       def interpSql(t: String): String =

@@ -107,8 +107,9 @@ object Terrain {
     *  8. elevgrid: river → sharp; outside buffer → original; else smooth.
     *
     * The synthetic grid has full valid coverage, so the reference's
-    * nodata-allocation fallbacks (`agreedem.py:230-238`) never trigger —
-    * documented rather than modeled. */
+    * nodata-allocation fallbacks (`agreedem.py:230-238`) never trigger here
+    * — [[agreeBurnWithHoles]] (q115) models them over a grid with
+    * deterministic nodata holes. */
   def agreeBurn(spark: SparkSession): DataFrame = {
     val g = grid(spark).cache()
     val vect = nearest(g, g.filter(col("river") === 1))
@@ -144,6 +145,75 @@ object Terrain {
         col("vgid"), col("vectallo"), col("bd2"),
         col("bgid"), col("bufallo"), col("smoelev"),
         col("agree_elev"))
+  }
+
+  /** AGREE over a DEM with nodata holes (q115) — the allocation fallbacks of
+    * `src/agreedem.py:230-238` that q100's full-coverage grid never
+    * triggers: where the nearest-value allocation has no valid donor, the
+    * reference patches `bufallo → elev` (own elevation) and `vectallo →
+    * elev − smooth_drop`. Two deterministic hole regions force both paths:
+    *
+    *  - a river-line gap (col 17, rows 25-47 removed) strands the valid
+    *    cells of [31,41]×[12,22] with NO valid river cell within the search
+    *    radius → the `vectallo` fallback (110 cells; they are necessarily
+    *    outside the buffer, so `agree_elev` keeps the original elevation —
+    *    exactly the reference's outcome for far-from-stream nodata zones);
+    *  - rim-blocking flanks (rows 106-118, cols 44-49 ∪ 57-62 removed)
+    *    leave the in-buffer cells (112, 50-56) with no valid rim cell in
+    *    radius → the `bufallo` fallback (7 cells, incl. the river cell
+    *    (112,53)).
+    *
+    * Nodata cells themselves are dropped (the reference writes the nodata
+    * value through — `agreedem.py:309-311`). Distances at a fallback follow
+    * the patched-allocation semantics: `bd2 = 0` with `bgid = gid` (the
+    * cell donates to itself, same as the out-of-buffer case), and the
+    * smooth-reconditioning formula degenerates continuously:
+    * `smoelev = vectallo` when `bufdist + vectdist = 0` (its limit — the
+    * untriggered normal path is unchanged since river cells always have
+    * `bufdist > 0` there). Same halo-join plan shape as [[agreeBurn]]. */
+  def agreeBurnWithHoles(spark: SparkSession): DataFrame = {
+    val g = grid(spark)
+      .filter(!((col("r").between(106, 118) &&
+          (col("c").between(44, 49) || col("c").between(57, 62))) ||
+        (col("r").between(25, 47) && col("c") === 17)))
+      .cache()
+    val vect = nearest(g, g.filter(col("river") === 1))
+    val withVect = g.join(vect, Seq("gid"), "left")
+      .withColumn("vfb", col("packed").isNull.cast("int"))
+      .withColumn("vd2", expr("packed div 1048576"))
+      .withColumn("vgid", col("packed") % 1048576L)
+      .withColumn("vectdist", sqrt(col("vd2").cast("double")))
+      .withColumn("vectallo",
+        when(col("vfb") === 1, col("elev") - lit(SmoothDrop))
+          .otherwise(elevOf(expr(s"vgid div $GridN").cast("int"),
+            (col("vgid") % GridN).cast("int")) - lit(SmoothDrop)))
+      .withColumn("outside",
+        (col("vfb") === 1 || col("vd2").cast("double") > lit(FinalBuffer2)).cast("int"))
+      .drop("packed")
+    val rim = withVect.filter(col("outside") === 1)
+      .select(col("gid"), col("r"), col("c"))
+    val buf = nearest(withVect.filter(col("outside") === 0), rim)
+      .select(col("gid"), expr("packed div 1048576").as("bd2_in"),
+        (col("packed") % 1048576L).as("bgid_in"))
+    withVect.join(buf, Seq("gid"), "left")
+      .withColumn("bfb", (col("outside") === 0 && col("bgid_in").isNull).cast("int"))
+      .withColumn("bd2",
+        when(col("outside") === 1 || col("bfb") === 1, 0L).otherwise(col("bd2_in")))
+      .withColumn("bgid", coalesce(col("bgid_in"), col("gid")))
+      .withColumn("bufdist", sqrt(col("bd2").cast("double")))
+      .withColumn("bufallo",
+        elevOf(expr(s"bgid div $GridN").cast("int"), (col("bgid") % GridN).cast("int")))
+      .withColumn("smoelev",
+        when(col("bufdist") + col("vectdist") === 0.0, col("vectallo"))
+          .otherwise(col("vectallo") + (col("bufallo") - col("vectallo"))
+            / (col("bufdist") + col("vectdist")) * col("vectdist")))
+      .withColumn("agree_elev",
+        when(col("river") === 1, col("smoelev") - lit(SharpDrop))
+          .when(col("outside") === 1, col("elev"))
+          .otherwise(col("smoelev")))
+      .select(col("gid"), col("river"), col("elev"), col("vfb"), col("vd2"),
+        col("vgid"), col("vectallo"), col("bfb"), col("bd2"), col("bgid"),
+        col("bufallo"), col("smoelev"), col("agree_elev"))
   }
 
   /** Headwater flow accumulation + stream-pixel threshold (q101) —

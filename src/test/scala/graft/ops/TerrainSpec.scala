@@ -192,6 +192,58 @@ class TerrainSpec extends SparkTestBase {
     assert(d(10) == (None, 0) && d(11) == (None, 0))
   }
 
+  test("AGREE nodata fallbacks (q115): both allocation patches trigger, == brute force") {
+    val n = Terrain.GridN
+    def river(r: Int, c: Int) = c % 12 == 5 || r % 36 == 18
+    def valid(r: Int, c: Int) =
+      !((r >= 106 && r <= 118 && ((c >= 44 && c <= 49) || (c >= 57 && c <= 62))) ||
+        (r >= 25 && r <= 47 && c == 17))
+    def elev(r: Int, c: Int) = ((r * 31 + c * 17) % 400) / 4.0 + r / 4.0
+    // radius-bounded brute nearest (Chebyshev 6); None = fallback expected
+    def nearest6(pred: (Int, Int) => Boolean, r: Int, c: Int): Option[(Long, Long)] = {
+      val cands = for {
+        vr <- math.max(0, r - 6) to math.min(n - 1, r + 6)
+        vc <- math.max(0, c - 6) to math.min(n - 1, c + 6)
+        if pred(vr, vc)
+      } yield ((vr - r).toLong * (vr - r) + (vc - c).toLong * (vc - c), vr.toLong * n + vc)
+      if (cands.isEmpty) None else Some(cands.min)
+    }
+    def isRim(r: Int, c: Int) = valid(r, c) &&
+      nearest6((vr, vc) => valid(vr, vc) && river(vr, vc), r, c).forall(_._1 > 10)
+    val rows = Terrain.agreeBurnWithHoles(spark).collect()
+    assert(rows.length == n * n - 179) // 156 flank + 23 river-gap holes dropped
+    var vfbN = 0; var bfbN = 0
+    rows.foreach { row =>
+      val gid = row.getLong(0); val r = (gid / n).toInt; val c = (gid % n).toInt
+      assert(valid(r, c), s"hole cell ($r,$c) leaked into the output")
+      nearest6((vr, vc) => valid(vr, vc) && river(vr, vc), r, c) match {
+        case None => // vectallo fallback: own elev - drop, outside -> original
+          vfbN += 1
+          assert(row.getInt(3) == 1 && row.isNullAt(4), s"vfb wrong at ($r,$c)")
+          assert(row.getDouble(6) == elev(r, c) - 10.0)
+          assert(row.getDouble(12) == elev(r, c), s"agree not original at ($r,$c)")
+        case Some((d2, vgid)) =>
+          assert(row.getInt(3) == 0 && row.getLong(4) == d2 && row.getLong(5) == vgid)
+          if (d2 <= 10) { // inside buffer: check the rim pass
+            nearest6(isRim, r, c) match {
+              case None => // bufallo fallback: self-donation at distance 0
+                bfbN += 1
+                assert(row.getInt(7) == 1 && row.getLong(8) == 0L
+                  && row.getLong(9) == gid, s"bfb wrong at ($r,$c)")
+                assert(row.getDouble(10) == elev(r, c))
+                if (row.getInt(1) == 1) // fallback river cell: smoelev = vectallo
+                  assert(row.getDouble(11) == row.getDouble(6))
+              case Some((bd2, bgid)) =>
+                assert(row.getInt(7) == 0 && row.getLong(8) == bd2
+                  && row.getLong(9) == bgid, s"buf mismatch at ($r,$c)")
+            }
+          }
+      }
+    }
+    assert(vfbN == 110, s"vect fallback count $vfbN") // [31,41]x[12,22] minus col 17
+    assert(bfbN == 7, s"buf fallback count $bfbN")    // (112, 50..56)
+  }
+
   test("plan gate: AGREE nearest passes are hash joins + hash aggregates") {
     val df = Terrain.agreeBurn(spark)
     df.collect()
