@@ -775,6 +775,41 @@ object SparkEntry {
           Agreement.pairingTable(s, Agreement.DepthClassPairing))
         .groupBy(col("agreement")).agg(count(lit(1)).as("n"))),
 
+    // S9/S13 promoted to an oracle row: write a partitioned snapshot table
+    // (resumable sink + manifest commit), read it BACK off disk, and compare
+    // per-partition content stats + the manifest's row counts against the
+    // source-side oracle — any sink, read-back, or lineage corruption breaks
+    // the hash
+    "q116_snapshot_roundtrip" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val table = s"/tmp/graft_artifacts/q116_${new java.io.File(dir).getName}"
+      val p = Paths.get(table)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val src = SpatialJoin.assign(s, Synth.points(s, dir))
+        .select(col("pid"), col("hydroid").cast("long").as("hydroid"),
+          col("huc8"), col("hand"))
+      graft.pipeline.Snapshots.writeResumable(s, src, table, "huc8")
+      val back = graft.pipeline.Snapshots.readTable(s, table)
+      back.groupBy(col("huc8"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("pid")).as("pid_sum"),
+          min(col("hand")).as("hand_min"), max(col("hand")).as("hand_max"))
+        .join(graft.pipeline.Snapshots.lineage(s, table)
+          .select(col("part").as("huc8"), col("rows").as("n_manifest")), "huc8")
+    }),
+
+    // §2.10 #4 promoted to an oracle row: the typed-Aggregator interp UDAF
+    // and the relational bracketing aggregation run side by side per
+    // catchment — the oracle emits ONE formula for both columns, so any
+    // divergence between the two implementations hash-fails
+    "q117_interp_udaf" -> ((s, _) =>
+      Synth.hydrotable(s).filter(col("lake_id") === -999)
+        .join(broadcast(Synth.forecast(s)), "feature_id")
+        .groupBy(col("hydroid"))
+        .agg(RatingInterp.stageExpr.as("stage_m"),
+          RatingInterp.interpUdaf.as("stage_udaf"))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -2061,6 +2096,16 @@ object SparkEntry {
           |       ELSE smoelev END AS agree_elev
           |FROM s115""".stripMargin)
     },
+
+    "q116_snapshot_roundtrip" -> withCtes(pts, asg)(
+      s"""SELECT $huc8FromHydroid AS huc8, count(*) AS n_rows,
+         |  CAST(sum(pid) AS BIGINT) AS pid_sum,
+         |  min(hand) AS hand_min, max(hand) AS hand_max,
+         |  count(*) AS n_manifest
+         |FROM asg GROUP BY 1""".stripMargin),
+
+    "q117_interp_udaf" -> withCtes(ht, fc, stg)(
+      "SELECT hydroid, stage_m, stage_m AS stage_udaf FROM stg"),
 
     "q91_bridge_flows" -> {
       def interpSql(t: String): String =

@@ -159,6 +159,40 @@ object Snapshots {
     readTable(spark, table).filter(col(partCol).isin(visible: _*))
   }
 
+  /** Two-snapshot diff — the engine's `tools/hash_compare.py:1-60` analog
+    * (the reference's file-by-file hash diff of two run directories, its own
+    * bit-compatibility harness after a rebuild). Compares two table paths by
+    * per-partition content fingerprint — RECOMPUTED from the files on disk
+    * with the same order-insensitive `bit_xor(xxhash64(name-sorted row))`
+    * the lineage manifest records, NOT trusted from the manifests, so it
+    * also catches out-of-band edits and manifest drift. One distributed
+    * scan per table, a coarse full-outer merge on the partition key (the
+    * per-partition fingerprint rows are manifest-scale — thousands, not
+    * billions — so the merge is trivial at any data size).
+    *
+    * Returns one row per partition present in either table:
+    * `(part, status ∈ identical|changed|added|removed, rows_a, rows_b,
+    * xor_a, xor_b)` — `added` = only in B, `removed` = only in A. A schema
+    * difference surfaces as `changed` on every shared partition (the
+    * fingerprint covers all columns), same as the reference's file hashes. */
+  def diffTables(spark: SparkSession, tableA: String, tableB: String,
+      partCol: String): DataFrame = {
+    def fp(table: String, suffix: String): DataFrame = {
+      val t = readTable(spark, table)
+      t.groupBy(col(partCol).as("part"))
+        .agg(count(lit(1)).as(s"rows_$suffix"),
+          bit_xor(xxhash64(struct(t.columns.sorted.map(col): _*))).as(s"xor_$suffix"))
+    }
+    fp(tableA, "a").join(fp(tableB, "b"), Seq("part"), "full_outer")
+      .select(col("part"),
+        when(col("rows_a").isNull, lit("added"))
+          .when(col("rows_b").isNull, lit("removed"))
+          .when(col("rows_a") === col("rows_b") && col("xor_a") === col("xor_b"),
+            lit("identical"))
+          .otherwise(lit("changed")).as("status"),
+        col("rows_a"), col("rows_b"), col("xor_a"), col("xor_b"))
+  }
+
   /** The lineage/metrics table as a DataFrame. */
   def lineage(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

@@ -8,6 +8,49 @@ import scala.jdk.CollectionConverters._
 
 class SnapshotsSpec extends SparkTestBase {
 
+  test("diffTables (hash_compare analog): rebuild == identical; perturb -> names the partition") {
+    val dir = Files.createTempDirectory("graft_diff").toString
+    val df = graft.ops.SpatialJoin.assign(spark, Synth.points(spark, sf0001))
+      .select(col("pid"), col("hydroid"), col("huc8"), col("hand"))
+    Snapshots.writeResumable(spark, df, s"$dir/a", "huc8")
+    Snapshots.writeResumable(spark, df, s"$dir/b", "huc8")
+
+    // independent rebuild of the same data: every partition identical
+    val same = Snapshots.diffTables(spark, s"$dir/a", s"$dir/b", "huc8")
+    assert(same.filter(col("status") =!= "identical").count() == 0)
+    val nParts = same.count()
+    assert(nParts > 1)
+
+    // perturb ONE row of ONE partition in b (out-of-band edit — no manifest
+    // update, which is exactly what the recomputed fingerprint must catch)
+    val victim = Snapshots.readTable(spark, s"$dir/b")
+      .select("huc8").distinct().orderBy("huc8").limit(1)
+      .collect()(0).getString(0)
+    val part = Snapshots.readTable(spark, s"$dir/b").filter(col("huc8") === victim)
+    val perturbed = part.withColumn("hand",
+      when(col("pid") === part.agg(min("pid")).collect()(0).getLong(0),
+        col("hand") + 1.0).otherwise(col("hand")))
+    perturbed.write.mode("overwrite").parquet(s"$dir/victim_tmp")
+    val vDir = Paths.get(dir, "b", s"huc8=$victim")
+    Files.walk(vDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.createDirectories(vDir)
+    spark.read.parquet(s"$dir/victim_tmp").drop("huc8")
+      .write.mode("overwrite").parquet(vDir.toString)
+
+    val diff = Snapshots.diffTables(spark, s"$dir/a", s"$dir/b", "huc8")
+    val changed = diff.filter(col("status") === "changed")
+      .select("part").collect().map(_.getString(0)).toSeq
+    assert(changed == Seq(victim), s"diff should name exactly the perturbed partition: $changed")
+    assert(diff.filter(col("status") === "identical").count() == nParts - 1)
+
+    // remove a partition from a -> reported added (present only in b)
+    val aDir = Paths.get(dir, "a", s"huc8=$victim")
+    Files.walk(aDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val diff2 = Snapshots.diffTables(spark, s"$dir/a", s"$dir/b", "huc8")
+    assert(diff2.filter(col("status") === "added")
+      .select("part").collect().map(_.getString(0)).toSeq == Seq(victim))
+  }
+
   test("resumable write: kill/rerun at partition granularity recomputes only missing partitions") {
     val dir = Files.createTempDirectory("graft_snap").toString
     val table = s"$dir/tiles"
