@@ -121,15 +121,18 @@ object AnnSearch {
     * the score is dot/√|c|²), queries probe the `nProbe` nearest lists and
     * exact-rerank only those candidates.
     *
-    * PRODUCTION-PATH VERDICT (round-4 tuning sweep, `graft.tools.IvfTune`,
-    * recorded in AnnSpec): on the weakly-clustered synthetic embeddings the
-    * best 10 %-scan configuration (40 lists, 3 Lloyd rounds, nProbe = 4)
-    * reaches recall@5 = 0.525, and no tested seeding ([[seedCentroidsPP]]
-    * kmeans++ included) or round count clears 0.6 under ~15-20 % scanned —
-    * true neighborhoods (cos ≈ 0.4) scatter across lists. Multi-table SRP
-    * ([[srpTopK]], recall 0.95 at comparable budget) is the engine's
-    * production ANN path; IVF stays the correct, plan-shape-sound baseline
-    * a tightly-clustered real corpus could re-promote.
+    * PRODUCTION-PATH VERDICT (round-4 sweep + round-5 bounded retune,
+    * `graft.tools.IvfTune`, recorded in AnnSpec): the round-4 grid
+    * (C ≤ 40) topped out at recall@5 = 0.525 at a 10 % scan; the round-5
+    * levers — finer quantization and SOAR-style multi-assignment
+    * (`nAssign`) — clear the bar: C = 80 (≈25 vecs/list, kmeans++ +
+    * 3 Lloyd rounds), nProbe = 8 reaches recall@5 = 0.600 at a MEASURED
+    * 9.9 % scanned fraction, and nAssign = 2 extends the curve to
+    * 0.725 at 19 %. Multi-table SRP ([[srpTopK]], recall 0.95 at
+    * comparable budget) remains the engine's production ANN path on these
+    * weakly-clustered synthetic embeddings (neighbor cos ≈ 0.4); IVF is a
+    * bar-meeting baseline a tightly-clustered real corpus would
+    * re-promote.
     *
     * Scale shape: assignment is O(N·C·d) map work against a BROADCAST
     * centroid table (C ≪ N); the probe→candidate join shuffles on the list
@@ -320,9 +323,16 @@ object AnnSearch {
     * centroid table — the first half of [[ivfTopKWith]], exposed standalone
     * so the tuning sweep can measure the ACTUAL scanned fraction: probed
     * lists are population-skewed after Lloyd rounds, so the nominal
-    * nProbe/C badly under- or over-states the real rerank cost. */
+    * nProbe/C badly under- or over-states the real rerank cost.
+    *
+    * `nAssign` > 1 indexes each vector under its `nAssign` best lists
+    * (multi-assignment / spilled lists, the SOAR-family recall lever):
+    * the index grows nAssign×, queries keep probing nProbe lists, and a
+    * true neighbor straddling a Voronoi boundary is findable from either
+    * side. The scanned fraction is still MEASURED (candidates are distinct
+    * pairs), so the recall-at-cost comparison stays honest. */
   def ivfCandidatesWith(emb: DataFrame, centroids: DataFrame, nProbe: Int = 3,
-      queryMod: Int = 250): DataFrame = {
+      queryMod: Int = 250, nAssign: Int = 1): DataFrame = {
     val q = quantized(emb)
     val cn = centroids.groupBy(col("cid")).agg(sum(col("cq") * col("cq")).as("cn2"))
     val scores = q.join(broadcast(centroids), "pos")
@@ -330,10 +340,17 @@ object AnnSearch {
       .agg(sum(col("q").cast("double") * col("cq")).as("dot"))
       .join(broadcast(cn), "cid")
       .withColumn("score", col("dot") / sqrt(col("cn2")))
-    val assign = scores.groupBy(col("vec_id"))
-      .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid").asc)
+    val assign =
+      if (nAssign <= 1)
+        // single assignment stays the partial-aggregating min(struct) shape
+        // (no window, map-side combine)
+        scores.groupBy(col("vec_id"))
+          .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+      else
+        scores.withColumn("rn", row_number().over(wq)).filter(col("rn") <= nAssign)
+          .select(col("vec_id"), col("cid"))
     val probes = scores.filter(col("vec_id") % queryMod === 0)
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select(col("vec_id").as("qvec"), col("cid"))
@@ -348,26 +365,11 @@ object AnnSearch {
     * one assignment aggregate, list-id shuffle, exact rerank of probed
     * lists only. */
   def ivfTopKWith(emb: DataFrame, centroids: DataFrame, k: Int = 5,
-      nProbe: Int = 3, queryMod: Int = 250): DataFrame = {
+      nProbe: Int = 3, queryMod: Int = 250, nAssign: Int = 1): DataFrame = {
     val q = quantized(emb).cache()
     val n = norms(q)
     val cents = centroids.cache()
-    val cn = cents.groupBy(col("cid")).agg(sum(col("cq") * col("cq")).as("cn2"))
-    val scores = q.join(broadcast(cents), "pos")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(sum(col("q").cast("double") * col("cq")).as("dot"))
-      .join(broadcast(cn), "cid")
-      .withColumn("score", col("dot") / sqrt(col("cn2")))
-    val assign = scores.groupBy(col("vec_id"))
-      .agg(min(struct((-col("score")).as("ns"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
-    val wq = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid").asc)
-    val probes = scores.filter(col("vec_id") % queryMod === 0)
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("vec_id").as("qvec"), col("cid"))
-    val cand = probes.join(assign, "cid")
-      .filter(col("qvec") =!= col("vec_id"))
-      .select(col("qvec"), col("vec_id").as("vec")).distinct()
+    val cand = ivfCandidatesWith(emb, cents, nProbe, queryMod, nAssign)
     val dots = cand
       .hint("shuffle_hash")
       .join(q.select(col("vec_id").as("qvec"), col("pos"), col("q").as("qq")), "qvec")

@@ -26,6 +26,27 @@ object IvfTune {
     def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
       brute.intersect(rows.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / brute.size
 
+    if (sys.env.get("SPARK_GRAFT_IVF_GRID").contains("r5")) {
+      // Round-5 bounded attempt (VERDICT item 9): the two untried levers at
+      // matched MEASURED scan cost — finer quantization (C=80: ~25 vecs per
+      // list) and SOAR-style multi-assignment (each vector indexed under its
+      // 2 best lists, so boundary-straddling neighbors are findable from
+      // either side). kmeans++ + 3 Lloyd rounds fixed (the r4 winner).
+      for (c <- Seq(40, 80)) {
+        val init = AnnSearch.seedCentroidsPP(emb, c)
+        val cents = AnnSearch.kmeansIterateFrom(emb, init, 3).cache()
+        cents.count()
+        for (na <- Seq(1, 2); p <- Seq(2, 4, 6, 8)) {
+          val res = AnnSearch.ivfTopKWith(emb, cents, 5, nProbe = p, nAssign = na).collect()
+          val nCand = AnnSearch.ivfCandidatesWith(emb, cents, nProbe = p, nAssign = na).count()
+          val scan = nCand.toDouble / (nQ.toDouble * nVec)
+          println(f"[ivftune] C=$c%d seed=pp    rounds=3 nAssign=$na%d nProbe=$p%d " +
+            f"scan=$scan%.3f recall@5=${recallOf(res)}%.3f")
+        }
+        cents.unpersist()
+      }
+      spark.stop(); return
+    }
     for (c <- Seq(20, 40)) {
       val seeds = Map(
         "idsub" -> AnnSearch.trainedCentroids(emb, centroidMod = (nVec / c).toInt),

@@ -103,15 +103,44 @@ class AnnSpec extends SparkTestBase {
     // ≥ 15-20% of the corpus scanned regardless of seeding or rounds. The
     // weakly-clustered synthetic embeddings (neighbor cos ≈ 0.4) scatter
     // true neighborhoods across lists — a data property, not a plan defect.
-    // VERDICT: multi-table SRP (recall 0.95 at comparable budget) is the
-    // production ANN path; IVF stays a correct, plan-shape-sound COMPARISON
-    // BASELINE. This assert pins the tuned band so a regression is visible.
+    // This assert pins the tuned band so a regression is visible.
     val tuned = recallOf(AnnSearch.ivfTopKWith(
       embBig,
       AnnSearch.kmeansIterateFrom(embBig, AnnSearch.trainedCentroids(embBig), 3),
       5, nProbe = 4).collect())
     info(s"IVF best-at-10%-scan (C=40, 3 rounds, nProbe=4): recall@5 = $tuned")
     assert(tuned >= 0.45, s"tuned IVF fell below its recorded band: $tuned")
+
+    // ROUND-5 BOUNDED RETUNE (graft.tools.IvfTune SPARK_GRAFT_IVF_GRID=r5 —
+    // lists {40,80} × nAssign {1,2} × nProbe {2,4,6,8}, kmeans++ + 3 rounds
+    // fixed): FINER quantization clears the bar the r4 grid could not —
+    // C=80 (~25 vecs/list), nProbe=8 reaches recall@5 = 0.600 at a MEASURED
+    // 9.9% scanned fraction (the "≥0.6 at ≤10% scan" re-promotion bar).
+    // SOAR-style multi-assignment (nAssign=2) is the better lever at coarse
+    // C (C=40: 0.525@9.9% vs 0.475@10% single-assign) and extends the
+    // recall-vs-scan curve monotonically to 0.725@19% (C=80, nAssign=2,
+    // nProbe=8). VERDICT UNCHANGED IN RANK: SRP (0.95) stays the production
+    // path — IVF at the bar is a legitimate baseline a tightly-clustered
+    // real corpus would re-promote, no longer a failed one. Pinned here.
+    val c80 = AnnSearch.kmeansIterateFrom(embBig, AnnSearch.seedCentroidsPP(embBig, 80), 3)
+      .cache()
+    val tuned80 = recallOf(
+      AnnSearch.ivfTopKWith(embBig, c80, 5, nProbe = 8).collect())
+    val nCand = AnnSearch.ivfCandidatesWith(embBig, c80, nProbe = 8).count()
+    val scan80 = nCand.toDouble / (brute.map(_._1).size.toDouble * embBig.count())
+    info(f"IVF r5 retune (C=80, pp+3 rounds, nProbe=8): recall@5 = $tuned80 at scan=$scan80%.3f")
+    assert(tuned80 >= 0.55, s"retuned IVF fell below its recorded band: $tuned80")
+    assert(scan80 <= 0.12, f"retuned IVF scan fraction drifted above budget: $scan80%.3f")
+    // multi-assignment dominates single-assignment at equal C and probe
+    // count (the index holds each vector twice, so every query sees a
+    // superset of the single-assign candidates)
+    val dual = recallOf(
+      AnnSearch.ivfTopKWith(embBig, c80, 5, nProbe = 6, nAssign = 2).collect())
+    val single = recallOf(
+      AnnSearch.ivfTopKWith(embBig, c80, 5, nProbe = 6).collect())
+    info(s"IVF nAssign=2 vs 1 (C=80, nProbe=6): $dual vs $single")
+    assert(dual >= single, s"multi-assignment lost recall: $dual < $single")
+    c80.unpersist()
   }
 
   test("kmeans++ seeding: deterministic, C distinct spread-out centroids") {
