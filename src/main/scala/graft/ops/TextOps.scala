@@ -54,9 +54,23 @@ object TextOps {
     * re-shingling and re-md5ing the corpus (q16 was 43 s in BENCH_r01, ~3×
     * the shingle work of this shared form). */
   def shingleHashes(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .select(col("doc_id"), baseHash60(col("sh")).as("hb"))
-      .distinct()
+    docs
+      .filter(length(col("text")) >= ShingleLen)
+      .select(col("doc_id"),
+        // per-doc array_distinct INSIDE the generator, not a global
+        // .distinct(): every duplicate (doc_id, hb) pair comes from within
+        // one source row (doc_id is the corpus key), so the classic
+        // shuffle-distinct moves the entire shingle table (359M rows at the
+        // ×256 bench leg) through an exchange + two-phase hash aggregate to
+        // deduplicate rows that were already co-located — measured as THE
+        // dominant cost of the whole dedup family one order up (369 s of the
+        // incremental leg's 578 s wall; the map-side form cut it to pure
+        // compute and restored the leg's docs/sec linearity). Output is
+        // bit-identical: same 60-bit md5-prefix hashes, same per-doc sets.
+        explode(array_distinct(expr(
+          s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
+            s"i -> CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT))")))
+          .as("hb"))
       .cache()
 
   /** Wide MinHash signature: (doc_id, m0..m15) with
@@ -94,7 +108,7 @@ object TextOps {
     bandsOf(minhashWide(docs))
 
   /** Bands from an already-computed wide signature (shared-table path). */
-  private def bandsOf(wide: DataFrame): DataFrame = {
+  private[graft] def bandsOf(wide: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val stackArgs = (0 until NumBands).flatMap(b =>
       s"$b" +: (0 until rowsPerBand).map(j => s"m${b * rowsPerBand + j}")).mkString(", ")
@@ -133,8 +147,18 @@ object TextOps {
   def ngramJaccardFrom(sh: DataFrame): DataFrame = {
     // distinct 60-bit shingle hashes instead of the strings: 8-byte join keys
     // (collision odds ~n²/2⁶¹ — negligible, and mirrored in the oracle)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairs = pairsOf(bandsOf(minhashWideFrom(sh))).cache()
+    // Semi-join reduction: every output row keys on a candidate pair, so the
+    // shingle table is first cut to docs that appear in ANY pair via a
+    // broadcast semi-join (bare 8-byte ids, a map-side filter) — without it
+    // the verify joins shuffle the whole shingle table to verify a candidate
+    // set that is usually far smaller (and the sizes aggregate scans it
+    // again). A corpus that is MOSTLY near-dups approaches the unreduced
+    // cost but never exceeds it.
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shP = sh.join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+    val sizes = shP.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // two-key equi-join (doc, hb) on each side — joining on doc alone and
     // filtering equality afterwards would materialize |pairs|·|shingles|² rows.
     // shuffle_hash hints pin the BUILD side to the candidate chain: Catalyst
@@ -143,9 +167,9 @@ object TextOps {
     // 16×-sharded corpus, unbounded at 100 TB
     val inter = pairs
       .hint("shuffle_hash")
-      .join(sh.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
+      .join(shP.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
       .hint("shuffle_hash")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
+      .join(shP.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
@@ -257,15 +281,30 @@ object TextOps {
     val base = baseBands.withColumnRenamed("doc_id", "doc_a")
     val batch = batchBands.withColumnRenamed("doc_id", "doc_b")
     val pairs = base.join(batch, keys).select("doc_a", "doc_b").distinct().cache()
-    val sza = baseSh.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("sza"))
-    val szb = batchSh.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("szb"))
+    // Semi-join reduction BEFORE the shingle-level verify: every output row
+    // is pairs-scoped (intersections, set sizes and the final argmax all key
+    // on a candidate pair), so both shingle tables can be cut to the docs
+    // that actually appear in a pair via a BROADCAST semi-join on the doc id
+    // — a map-side filter, no exchange of the big table. Without it the
+    // (doc_b, hb) verify join shuffles the ENTIRE batch shingle table to
+    // verify a candidate set that is orders of magnitude smaller (measured
+    // at the ×256 bench leg: 180 s shuffling 359M rows against 286 pairs).
+    // The broadcast is bare 8-byte ids bounded by the batch's dup-candidate
+    // count — millions of candidates = tens of MB; a batch MOSTLY made of
+    // near-dups approaches the plain shuffle in cost but never exceeds it.
+    val docsA = pairs.select(col("doc_a").as("doc_id")).distinct()
+    val docsB = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val baseShP = baseSh.join(broadcast(docsA), Seq("doc_id"), "left_semi")
+    val batchShP = batchSh.join(broadcast(docsB), Seq("doc_id"), "left_semi")
+    val sza = baseShP.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("sza"))
+    val szb = batchShP.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("szb"))
     // shuffle_hash on the pair chain: never broadcast a shingle table
     // (generator sizeInBytes under-estimates; see ngramJaccardFrom)
     val inter = pairs
       .hint("shuffle_hash")
-      .join(baseSh.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
+      .join(baseShP.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
       .hint("shuffle_hash")
-      .join(batchSh.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
+      .join(batchShP.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     val jac = pairs.join(inter, Seq("doc_a", "doc_b"), "left")
       .withColumn("i", coalesce(col("i"), lit(0L)))
