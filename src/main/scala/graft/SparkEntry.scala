@@ -781,12 +781,8 @@ object SparkEntry {
     // source-side oracle — any sink, read-back, or lineage corruption breaks
     // the hash
     "q116_snapshot_roundtrip" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
       val table = s"/tmp/graft_artifacts/q116_${new java.io.File(dir).getName}"
-      val p = Paths.get(table)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      graft.pipeline.Snapshots.deleteRecursively(java.nio.file.Paths.get(table))
       val src = SpatialJoin.assign(s, Synth.points(s, dir))
         .select(col("pid"), col("hydroid").cast("long").as("hydroid"),
           col("huc8"), col("hand"))

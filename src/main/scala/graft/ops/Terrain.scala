@@ -110,42 +110,11 @@ object Terrain {
     * nodata-allocation fallbacks (`agreedem.py:230-238`) never trigger here
     * — [[agreeBurnWithHoles]] (q115) models them over a grid with
     * deterministic nodata holes. */
-  def agreeBurn(spark: SparkSession): DataFrame = {
-    val g = grid(spark).cache()
-    val vect = nearest(g, g.filter(col("river") === 1))
-      .select(col("gid"),
-        expr("packed div 1048576").as("vd2"),
-        (col("packed") % 1048576L).as("vgid"))
-    val withVect = g.join(vect, Seq("gid"))
-      .withColumn("vectdist", sqrt(col("vd2").cast("double")))
-      .withColumn("vectallo",
-        elevOf(expr(s"vgid div $GridN").cast("int"), (col("vgid") % GridN).cast("int"))
-          - lit(SmoothDrop))
-      .withColumn("outside", (col("vd2").cast("double") > lit(FinalBuffer2)).cast("int"))
-    val rim = withVect.filter(col("outside") === 1)
-      .select(col("gid"), col("r"), col("c"))
-    val buf = nearest(withVect.filter(col("outside") === 0), rim)
-      .select(col("gid"),
-        expr("packed div 1048576").as("bd2_in"),
-        (col("packed") % 1048576L).as("bgid_in"))
-    withVect.join(buf, Seq("gid"), "left")
-      .withColumn("bd2", when(col("outside") === 1, 0L).otherwise(col("bd2_in")))
-      .withColumn("bgid", when(col("outside") === 1, col("gid")).otherwise(col("bgid_in")))
-      .withColumn("bufdist", sqrt(col("bd2").cast("double")))
-      .withColumn("bufallo",
-        elevOf(expr(s"bgid div $GridN").cast("int"), (col("bgid") % GridN).cast("int")))
-      .withColumn("smoelev",
-        col("vectallo") + (col("bufallo") - col("vectallo"))
-          / (col("bufdist") + col("vectdist")) * col("vectdist"))
-      .withColumn("agree_elev",
-        when(col("river") === 1, col("smoelev") - lit(SharpDrop))
-          .when(col("outside") === 1, col("elev"))
-          .otherwise(col("smoelev")))
-      .select(col("gid"), col("river"), col("elev"), col("vd2"),
-        col("vgid"), col("vectallo"), col("bd2"),
-        col("bgid"), col("bufallo"), col("smoelev"),
-        col("agree_elev"))
-  }
+  def agreeBurn(spark: SparkSession): DataFrame =
+    // full-coverage grid: the general form's fallback branches are inert
+    // (every cell has a valid river donor and, inside the buffer, a valid
+    // rim donor), so the fallback-flag columns are statically 0 and dropped
+    agreeOver(grid(spark).cache()).drop("vfb", "bfb")
 
   /** AGREE over a DEM with nodata holes (q115) — the allocation fallbacks of
     * `src/agreedem.py:230-238` that q100's full-coverage grid never
@@ -171,12 +140,24 @@ object Terrain {
     * `smoelev = vectallo` when `bufdist + vectdist = 0` (its limit — the
     * untriggered normal path is unchanged since river cells always have
     * `bufdist > 0` there). Same halo-join plan shape as [[agreeBurn]]. */
-  def agreeBurnWithHoles(spark: SparkSession): DataFrame = {
-    val g = grid(spark)
+  def agreeBurnWithHoles(spark: SparkSession): DataFrame =
+    agreeOver(grid(spark)
       .filter(!((col("r").between(106, 118) &&
           (col("c").between(44, 49) || col("c").between(57, 62))) ||
         (col("r").between(25, 47) && col("c") === 17)))
-      .cache()
+      .cache())
+
+  /** The ONE AGREE reconditioning pipeline (shared by [[agreeBurn]] and
+    * [[agreeBurnWithHoles]] so the recondition math can never drift between
+    * the full-coverage and holey paths): nearest-river allocation with the
+    * no-valid-donor fallback (`vectallo → own elev − smooth_drop`,
+    * `agreedem.py:230-238`), rim derivation, nearest-rim allocation with the
+    * self-donation fallback (`bufallo → own elev`, distance 0), and the
+    * smooth/sharp reconditioned elevation — `smoelev` degenerating
+    * continuously to `vectallo` when `bufdist + vectdist = 0` (only ever hit
+    * via fallbacks; on a full-coverage grid the guard is inert since river
+    * cells always have `bufdist > 0`). */
+  private def agreeOver(g: DataFrame): DataFrame = {
     val vect = nearest(g, g.filter(col("river") === 1))
     val withVect = g.join(vect, Seq("gid"), "left")
       .withColumn("vfb", col("packed").isNull.cast("int"))

@@ -150,14 +150,19 @@ object TextOps {
     val pairs = pairsOf(bandsOf(minhashWideFrom(sh))).cache()
     // Semi-join reduction: every output row keys on a candidate pair, so the
     // shingle table is first cut to docs that appear in ANY pair via a
-    // broadcast semi-join (bare 8-byte ids, a map-side filter) — without it
-    // the verify joins shuffle the whole shingle table to verify a candidate
-    // set that is usually far smaller (and the sizes aggregate scans it
-    // again). A corpus that is MOSTLY near-dups approaches the unreduced
-    // cost but never exceeds it.
+    // left_semi join on bare 8-byte ids — without it the verify joins
+    // shuffle the whole shingle table to verify a candidate set that is
+    // usually far smaller (and the sizes aggregate scans it again). No
+    // forced broadcast: the candidate-doc set is bounded by dup DENSITY,
+    // not corpus size, so on a boilerplate-heavy corpus it can reach
+    // billions of ids and a binding broadcast() hint would hit the 8 GB
+    // broadcast cliff / driver OOM where the unreduced plan merely got
+    // slower. AQE converts the semi join to broadcast from the MEASURED
+    // size when it is genuinely small (the common case) and keeps it a
+    // shuffle join when it is not — same fast path, no cliff.
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val shP = sh.join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+    val shP = sh.join(pairDocs, Seq("doc_id"), "left_semi")
     val sizes = shP.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // two-key equi-join (doc, hb) on each side — joining on doc alone and
     // filtering equality afterwards would materialize |pairs|·|shingles|² rows.
@@ -283,19 +288,21 @@ object TextOps {
     val pairs = base.join(batch, keys).select("doc_a", "doc_b").distinct().cache()
     // Semi-join reduction BEFORE the shingle-level verify: every output row
     // is pairs-scoped (intersections, set sizes and the final argmax all key
-    // on a candidate pair), so both shingle tables can be cut to the docs
-    // that actually appear in a pair via a BROADCAST semi-join on the doc id
-    // — a map-side filter, no exchange of the big table. Without it the
-    // (doc_b, hb) verify join shuffles the ENTIRE batch shingle table to
-    // verify a candidate set that is orders of magnitude smaller (measured
-    // at the ×256 bench leg: 180 s shuffling 359M rows against 286 pairs).
-    // The broadcast is bare 8-byte ids bounded by the batch's dup-candidate
-    // count — millions of candidates = tens of MB; a batch MOSTLY made of
-    // near-dups approaches the plain shuffle in cost but never exceeds it.
+    // on a candidate pair), so both shingle tables are cut to the docs that
+    // actually appear in a pair via a left_semi join on the doc id. Without
+    // it the (doc_b, hb) verify join shuffles the ENTIRE batch shingle
+    // table to verify a candidate set that is orders of magnitude smaller
+    // (measured at the ×256 bench leg: 180 s shuffling 359M rows against
+    // 286 pairs). No forced broadcast: the candidate set is bounded by dup
+    // DENSITY, not corpus size — a re-crawl storm can make MOST of a batch
+    // duplicate (see CorpusStream's identical rationale), and a binding
+    // broadcast() hint would then hit the 8 GB cliff / driver OOM where a
+    // shuffle join merely slows down. AQE converts the semi joins to
+    // broadcast from the measured size in the common sparse case.
     val docsA = pairs.select(col("doc_a").as("doc_id")).distinct()
     val docsB = pairs.select(col("doc_b").as("doc_id")).distinct()
-    val baseShP = baseSh.join(broadcast(docsA), Seq("doc_id"), "left_semi")
-    val batchShP = batchSh.join(broadcast(docsB), Seq("doc_id"), "left_semi")
+    val baseShP = baseSh.join(docsA, Seq("doc_id"), "left_semi")
+    val batchShP = batchSh.join(docsB, Seq("doc_id"), "left_semi")
     val sza = baseShP.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("sza"))
     val szb = batchShP.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("szb"))
     // shuffle_hash on the pair chain: never broadcast a shingle table

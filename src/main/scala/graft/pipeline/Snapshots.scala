@@ -24,6 +24,22 @@ object Snapshots {
   private def manifestDir(table: String) = Paths.get(table, "_graft_manifest")
   private def manifestFile(table: String) = manifestDir(table).resolve("lineage.jsonl")
 
+  /** The order-insensitive per-row content hash every fingerprint in this
+    * layer is built from: xxhash64 over the row with columns NAME-SORTED, so
+    * the value is stable across column reorder on read-back. Shared by the
+    * manifest's recorded xor ([[writeResumable]]) and [[diffTables]] — one
+    * definition, so the two can never drift apart. */
+  private def rowHash(df: DataFrame): org.apache.spark.sql.Column =
+    xxhash64(struct(df.columns.sorted.map(col): _*))
+
+  /** Depth-first recursive delete (children before parents — `Files.walk`
+    * yields preorder, hence the reverse). */
+  def deleteRecursively(path: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(path))
+      Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
   def committedPartitions(table: String): Set[String] =
     if (!Files.exists(manifestFile(table))) Set.empty
     else {
@@ -60,7 +76,7 @@ object Snapshots {
     val snap = readTable(spark, table).filter(!col(partCol).isin(done.toSeq: _*))
     val statsAggs = Seq(count(lit(1)).as("rows"),
       // order-insensitive content fingerprint; bit_xor can't overflow
-      bit_xor(xxhash64(struct(snap.columns.sorted.map(col): _*))).as("xor")) ++
+      bit_xor(rowHash(snap)).as("xor")) ++
       statsCol.toSeq.flatMap(c => Seq(
         min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi")))
     val stats = snap
@@ -163,8 +179,9 @@ object Snapshots {
     * (the reference's file-by-file hash diff of two run directories, its own
     * bit-compatibility harness after a rebuild). Compares two table paths by
     * per-partition content fingerprint — RECOMPUTED from the files on disk
-    * with the same order-insensitive `bit_xor(xxhash64(name-sorted row))`
-    * the lineage manifest records, NOT trusted from the manifests, so it
+    * with the same order-insensitive `bit_xor` of row hashes the lineage
+    * manifest records (plus a multiplicity-sensitive exact sum of the same
+    * hashes), NOT trusted from the manifests, so it
     * also catches out-of-band edits and manifest drift. One distributed
     * scan per table, a coarse full-outer merge on the partition key (the
     * per-partition fingerprint rows are manifest-scale — thousands, not
@@ -181,14 +198,19 @@ object Snapshots {
       val t = readTable(spark, table)
       t.groupBy(col(partCol).as("part"))
         .agg(count(lit(1)).as(s"rows_$suffix"),
-          bit_xor(xxhash64(struct(t.columns.sorted.map(col): _*))).as(s"xor_$suffix"))
+          bit_xor(rowHash(t)).as(s"xor_$suffix"),
+          // xor alone misses balanced odd-multiplicity changes (one row's
+          // count 1→3 while another's goes 3→1 leaves x⊕x⊕x = x and total
+          // rows unchanged); the exact 128-bit-wide sum of the same row
+          // hashes is multiplicity-sensitive and closes that hole
+          sum(rowHash(t).cast("decimal(38,0)")).as(s"sum_$suffix"))
     }
     fp(tableA, "a").join(fp(tableB, "b"), Seq("part"), "full_outer")
       .select(col("part"),
         when(col("rows_a").isNull, lit("added"))
           .when(col("rows_b").isNull, lit("removed"))
-          .when(col("rows_a") === col("rows_b") && col("xor_a") === col("xor_b"),
-            lit("identical"))
+          .when(col("rows_a") === col("rows_b") && col("xor_a") === col("xor_b")
+            && col("sum_a") === col("sum_b"), lit("identical"))
           .otherwise(lit("changed")).as("status"),
         col("rows_a"), col("rows_b"), col("xor_a"), col("xor_b"))
   }

@@ -44,11 +44,11 @@ object DedupProfile {
     val batchSh = sh.filter(col("doc_id") >= idSplit)
     // the pairs-scoped semi-join reduction, as in incrementalDedupAgainst
     val docsB = pairs.select(col("doc_b").as("doc_id")).distinct()
-    val batchShP = batchSh.join(broadcast(docsB), Seq("doc_id"), "left_semi")
+    val batchShP = batchSh.join(docsB, Seq("doc_id"), "left_semi")
     t("szb")(batchShP.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("szb"))
       .queryExecution.toRdd.count())
     val docsA = pairs.select(col("doc_a").as("doc_id")).distinct()
-    val baseShP = baseSh.join(broadcast(docsA), Seq("doc_id"), "left_semi")
+    val baseShP = baseSh.join(docsA, Seq("doc_id"), "left_semi")
     val inter = pairs
       .hint("shuffle_hash")
       .join(baseShP.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")

@@ -32,7 +32,7 @@ class SnapshotsSpec extends SparkTestBase {
         col("hand") + 1.0).otherwise(col("hand")))
     perturbed.write.mode("overwrite").parquet(s"$dir/victim_tmp")
     val vDir = Paths.get(dir, "b", s"huc8=$victim")
-    Files.walk(vDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Snapshots.deleteRecursively(vDir)
     Files.createDirectories(vDir)
     spark.read.parquet(s"$dir/victim_tmp").drop("huc8")
       .write.mode("overwrite").parquet(vDir.toString)
@@ -45,10 +45,24 @@ class SnapshotsSpec extends SparkTestBase {
 
     // remove a partition from a -> reported added (present only in b)
     val aDir = Paths.get(dir, "a", s"huc8=$victim")
-    Files.walk(aDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Snapshots.deleteRecursively(aDir)
     val diff2 = Snapshots.diffTables(spark, s"$dir/a", s"$dir/b", "huc8")
     assert(diff2.filter(col("status") === "added")
       .select("part").collect().map(_.getString(0)).toSeq == Seq(victim))
+  }
+
+  test("diffTables catches balanced odd-multiplicity swaps (xor-blind case)") {
+    import spark.implicits._
+    // rows x,y with multiplicities (1,3) vs (3,1): x⊕x⊕x = x so the xor and
+    // the row count both match — only the multiplicity-sensitive hash sum
+    // can tell the tables apart
+    val dir = Files.createTempDirectory("graft_diffm").toString
+    Seq(("p", 1L), ("p", 2L), ("p", 2L), ("p", 2L)).toDF("part", "v")
+      .write.partitionBy("part").parquet(s"$dir/a")
+    Seq(("p", 1L), ("p", 1L), ("p", 1L), ("p", 2L)).toDF("part", "v")
+      .write.partitionBy("part").parquet(s"$dir/b")
+    val d = Snapshots.diffTables(spark, s"$dir/a", s"$dir/b", "part").collect()
+    assert(d.length == 1 && d(0).getString(1) == "changed")
   }
 
   test("resumable write: kill/rerun at partition granularity recomputes only missing partitions") {
@@ -69,7 +83,7 @@ class SnapshotsSpec extends SparkTestBase {
     val keep = Files.readAllLines(manifest).asScala.filterNot(_.contains(s""""part":"$victim""""))
     Files.write(manifest, keep.mkString("", "\n", "\n").getBytes)
     val partDir = Paths.get(table, s"huc8=$victim")
-    Files.walk(partDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Snapshots.deleteRecursively(partDir)
 
     assert(Snapshots.readTable(spark, table).count() < total)
 
@@ -141,7 +155,7 @@ class SnapshotsSpec extends SparkTestBase {
       .filterNot(_.contains(s""""part":"$victim""""))
     Files.write(manifest, keep.mkString("", "\n", "\n").getBytes)
     val partDir = Paths.get(table, s"lang=$victim")
-    Files.walk(partDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Snapshots.deleteRecursively(partDir)
     val second = CuratePipeline.run(spark, sf0001, table)
     assert(second.map(_.part) == Seq(victim), s"resume recommitted ${second.map(_.part)}")
     assert(Snapshots.readTable(spark, table).count() == expected)
