@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * (regex redaction). All arithmetic/hashing is md5 + integer/IEEE-double so
   * the DuckDB oracle reproduces every value bit-for-bit.
   *
-  * Scale notes: the paragraph explode is bounded (≤ [[MaxWords]] words per
-  * doc); the dedup winner is a row_number over the paragraph-hash shuffle —
-  * one exchange keyed on a 128-bit hash, the standard exact-dedup shape (at
-  * 100 TB you shard the same key space; no driver state anywhere). URL
-  * canonicalization is pure per-row string algebra (whole-stage codegen) plus
-  * one partial-aggregating groupBy on the canonical key.
+  * Scale notes: paragraph derivation is a pure per-row map (bounded by
+  * [[MaxWords]] words per doc, no exchange); the dedup winner is a
+  * partial-aggregating min over the paragraph-hash shuffle — one exchange
+  * keyed on a 60-bit hash, the standard exact-dedup shape (at 100 TB you
+  * shard the same key space; no driver state anywhere). URL canonicalization
+  * is pure per-row string algebra (whole-stage codegen) plus one
+  * partial-aggregating groupBy on the canonical key.
   */
 object WebCuration {
 
@@ -27,17 +28,23 @@ object WebCuration {
     * generate_series needs a constant). */
   val MaxWords = 128
 
-  /** (doc_id, para_id, para): fixed-word-window paragraphs, text rebuilt in
-    * word order. posexplode splits once per doc (the oracle mirrors with a
-    * bounded series over string_split). */
+  /** (doc_id, para_id, para): fixed-word-window paragraphs — a PURE per-row
+    * map (split → sliced word windows → posexplode), no shuffle. The earlier
+    * form posexploded to one row per WORD and reassembled with a
+    * (doc_id, para_id) groupBy: a corpus-×-avg-words exchange plus an
+    * object-hash collect_list that degrades to sort-based past the per-task
+    * fallback threshold — measured sub-linear at the ×256 corpus (docs/sec
+    * ratio 0.59). Slicing the word array in place emits the identical rows
+    * with zero exchanges, so paragraph derivation now scales with the scan.
+    * (The oracle mirrors with a bounded generate_series over string_split.) */
   def paragraphs(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
-      .withColumn("para_id", floor(col("p") / lit(ParaWords.toDouble)).cast("int"))
-      .groupBy(col("doc_id"), col("para_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("w")))), x => x("w")),
-        " ").as("para"))
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(ws) + ${ParaWords - 1}) div $ParaWords - 1),
+             |  i -> array_join(slice(ws, i * $ParaWords + 1, $ParaWords), ' '))""".stripMargin))
+          .as(Seq("para_id", "para")))
 
   /** Global paragraph-level dedup (q73): the first occurrence of each
     * paragraph — ordered by (doc_id, para_id) — survives; all later copies

@@ -97,7 +97,12 @@ class PlanSpec extends SparkTestBase {
 
   test("paragraph dedup: bounded exchanges, NO window (skew-splittable winner join), partial aggs map-side") {
     val plan = physical(graft.ops.WebCuration.paragraphDedup(Synth.corpus(spark, sf0001)))
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 4, plan.take(3000))
+    // AT MOST three exchanges: winner agg on h, the paras side of the winner
+    // join on h (AQE broadcasts it away at this sf), and the per-doc
+    // reassembly on doc_id. Paragraph derivation itself must stay a pure map
+    // — a fourth exchange means the per-word explode/regroup shape
+    // (sub-linear at ×256: docs/sec ratio 0.59) regressed back in
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3, plan.take(3000))
     // the winner must be a partial-aggregating min(struct) + join — a window
     // would serialize a boilerplate paragraph's copies into one unsplittable
     // task (AQE can split skewed joins, never window partitions)
