@@ -47,12 +47,22 @@ object TextOps {
   def baseHash(sh: Column): Column = baseHash60(sh) % HashP
 
   /** The ONE shared artifact the whole dedup family derives from: the
-    * DISTINCT (doc_id, hb) 60-bit shingle-hash table, cached. MinHash minima
-    * are invariant under distinct; Jaccard set sizes/intersections need
-    * distinct — so minhash, LSH banding, exact-Jaccard verify and the
-    * composed curation pipeline can all share this table instead of each
-    * re-shingling and re-md5ing the corpus (q16 was 43 s in BENCH_r01, ~3×
-    * the shingle work of this shared form). */
+    * DISTINCT (doc_id, hb) 60-bit shingle-hash table. MinHash minima are
+    * invariant under distinct; Jaccard set sizes/intersections need distinct
+    * — so minhash, LSH banding, exact-Jaccard verify and the composed
+    * curation pipeline all share this definition instead of each
+    * re-shingling and re-md5ing the corpus differently.
+    *
+    * Deliberately NOT cached: it is corpus-sized (~675M rows at the ×256
+    * bench leg), and caching it crosses the storage-memory threshold
+    * somewhere between ×64 and ×256 — from there every consumer pays
+    * eviction/recompute thrash against its own execution memory, measured
+    * as docs/sec ratios of 0.41–0.49 on exactly the ops that read the cache
+    * (jaccard, curation) while their cache-free siblings stayed at ~1.0.
+    * It is a pure map off the parquet scan (array_distinct inside the
+    * generator), so recomputing a scan is linear compute with zero memory
+    * footprint; consumers that re-read a SUBSET cache the pairs-scoped
+    * reduction instead (bounded by dup density, not corpus size). */
   def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= ShingleLen)
@@ -71,7 +81,6 @@ object TextOps {
           s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
             s"i -> CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT))")))
           .as("hb"))
-      .cache()
 
   /** Wide MinHash signature: (doc_id, m0..m15) with
     * m_k = min over shingles of (hb·(17+4099·k) + 31+7907·k) mod P — the
@@ -162,7 +171,11 @@ object TextOps {
     // shuffle join when it is not — same fast path, no cliff.
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val shP = sh.join(pairDocs, Seq("doc_id"), "left_semi")
+    // the REDUCED table is what gets cached (three consumers below: sizes +
+    // both intersection sides) — it is bounded by dup density; caching the
+    // corpus-sized `sh` instead thrashed storage memory at ×256 (see
+    // [[shingleHashes]])
+    val shP = sh.join(pairDocs, Seq("doc_id"), "left_semi").cache()
     val sizes = shP.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // two-key equi-join (doc, hb) on each side — joining on doc alone and
     // filtering equality afterwards would materialize |pairs|·|shingles|² rows.
@@ -301,8 +314,12 @@ object TextOps {
     // broadcast from the measured size in the common sparse case.
     val docsA = pairs.select(col("doc_a").as("doc_id")).distinct()
     val docsB = pairs.select(col("doc_b").as("doc_id")).distinct()
-    val baseShP = baseSh.join(docsA, Seq("doc_id"), "left_semi")
-    val batchShP = batchSh.join(docsB, Seq("doc_id"), "left_semi")
+    // cache the REDUCED tables (each read twice below: size agg +
+    // intersection side) — bounded by the batch's dup-candidate count;
+    // caching a corpus-sized shingle table thrashes storage memory at scale
+    // (see [[shingleHashes]])
+    val baseShP = baseSh.join(docsA, Seq("doc_id"), "left_semi").cache()
+    val batchShP = batchSh.join(docsB, Seq("doc_id"), "left_semi").cache()
     val sza = baseShP.groupBy(col("doc_id").as("doc_a")).agg(count(lit(1)).as("sza"))
     val szb = batchShP.groupBy(col("doc_id").as("doc_b")).agg(count(lit(1)).as("szb"))
     // shuffle_hash on the pair chain: never broadcast a shingle table
