@@ -425,7 +425,19 @@ object TextOps {
     * single ObjectHashAggregate with map-side partial merge: `collect_set`
     * dedups per doc (subsuming the old upstream `distinct()` exchange), the
     * sort is per-group over ≤ [[MaxShingleChars]] elements, and no global
-    * sort ever happens. `fp` is NULL when a doc has < 4 distinct shingles —
+    * sort ever happens.
+    *
+    * Payload note: the set elements stay 32-char md5 STRINGS deliberately.
+    * Set union cannot collapse map-side, so the exchange payload is the
+    * whole distinct-shingle table and its per-element weight is THE scale
+    * lever — but re-encoding the 128 bits as a struct of three longs
+    * (sort-order-preserving bijection) measured 2× SLOWER at ×256 (279 s vs
+    * 138 s): object-hash aggregation buffers hold JVM objects, and a
+    * 3-field row (header + boxed array) outweighs a compact 32-byte ASCII
+    * string. The working lever is reduce-side parallelism sized to the DATA
+    * (AQE initialPartitionNum scaled with corpus, see Bench) — strings at
+    * data-sized partitions hold dps ratio ~0.7 at ×256 vs 0.42 for the r4
+    * window shape. `fp` is NULL when a doc has < 4 distinct shingles —
     * same as the oracle's `h1 || h2 || h3 || h4` with a missing rank. */
   def fingerprint(docs: DataFrame): DataFrame =
     shingles(docs)
