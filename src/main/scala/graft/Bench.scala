@@ -157,9 +157,11 @@ object Bench {
     }
     val only = sys.env.get("SPARK_GRAFT_ONLY") // e.g. "dedup" = skip the sweep
     if (only.contains("explain")) {
-      // same default as the measured leg below — the plan inspected must be
-      // the plan the record ran
-      val dmult0 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "64").toInt
+      // same default AND same per-leg AQE sizing as the measured leg below —
+      // the plan inspected must be the plan the record ran
+      val dmult0 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "256").toInt
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        cpus * 8 * math.max(1, dmult0 / 64))
       val df = graft.ops.TextOps.curate(scaledCorpus(spark, sfDir, dmult0))
       df.explain("cost")
       spark.stop(); return

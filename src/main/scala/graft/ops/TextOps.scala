@@ -62,7 +62,15 @@ object TextOps {
     * It is a pure map off the parquet scan (array_distinct inside the
     * generator), so recomputing a scan is linear compute with zero memory
     * footprint; consumers that re-read a SUBSET cache the pairs-scoped
-    * reduction instead (bounded by dup density, not corpus size). */
+    * reduction instead (bounded by dup density, not corpus size).
+    *
+    * PRECONDITION: `doc_id` is unique in `docs` (the documents table's
+    * primary key — the per-doc array_distinct then yields globally distinct
+    * (doc_id, hb) pairs with no shuffle). A corpus with repeated doc_id rows
+    * would inflate Jaccard set sizes downstream; ingest paths that can see
+    * re-crawled ids must dedup by id first (CorpusStream does; see also
+    * [[exactDupGroups]] for content-level dups, which are FINE — distinct
+    * ids with equal text are the workload, not a violation). */
   def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= ShingleLen)

@@ -26,18 +26,31 @@ object Snapshots {
 
   /** The order-insensitive per-row content hash every fingerprint in this
     * layer is built from: xxhash64 over the row with columns NAME-SORTED, so
-    * the value is stable across column reorder on read-back. Shared by the
-    * manifest's recorded xor ([[writeResumable]]) and [[diffTables]] — one
-    * definition, so the two can never drift apart. */
-  private def rowHash(df: DataFrame): org.apache.spark.sql.Column =
-    xxhash64(struct(df.columns.sorted.map(col): _*))
+    * the value is stable across column reorder on read-back. Each column is
+    * string-cast with NULL mapped to a NUL sentinel BEFORE hashing:
+    * xxhash64 SKIPS null children (the running seed passes through
+    * unchanged), so without the sentinel struct(7, NULL) and struct(NULL, 7)
+    * collide and a value migrating between two nullable columns — exactly
+    * the out-of-band corruption [[diffTables]] exists to catch — would
+    * fingerprint as identical. Shared by the manifest's recorded xor
+    * ([[writeResumable]]) and [[diffTables]] — one definition, so the two
+    * can never drift apart (specs that independently recompute fingerprints
+    * call this too — package-visible for exactly that reason). */
+  private[pipeline] def rowHash(df: DataFrame): org.apache.spark.sql.Column =
+    xxhash64(df.columns.sorted
+      .map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
 
   /** Depth-first recursive delete (children before parents — `Files.walk`
-    * yields preorder, hence the reverse). */
+    * yields preorder, hence the reverse). The walk stream is closed
+    * explicitly: it holds open directory handles until close() or GC, and
+    * this helper runs on every q116/parity execution. */
   def deleteRecursively(path: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.exists(path))
-      Files.walk(path).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(path)) {
+      val walk = Files.walk(path)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
   }
 
   def committedPartitions(table: String): Set[String] =

@@ -13,14 +13,18 @@ object DedupProfile {
   def main(args: Array[String]): Unit = {
     val m = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "256").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // heap comes from build.sbt's javaOptions (-Xmx at JVM launch) — setting
+    // spark.driver.memory on an in-process builder would be a silent no-op
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus * 8)
+    // the bench leg's exact AQE configuration, including its per-leg scaling
+    // (Bench sizes the initial partition count to the corpus, cpus·8·m/64)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      cpus * 8 * math.max(1, m / 64))
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f

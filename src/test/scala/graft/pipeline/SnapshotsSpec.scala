@@ -65,6 +65,21 @@ class SnapshotsSpec extends SparkTestBase {
     assert(d.length == 1 && d(0).getString(1) == "changed")
   }
 
+  test("diffTables catches a value migrating between nullable columns (xxhash64 null-skip case)") {
+    import spark.implicits._
+    // xxhash64 skips NULL children (seed passes through), so without the
+    // NUL-sentinel string cast, (7, NULL) and (NULL, 7) hash identically and
+    // a corrupted rewrite that swaps which column holds the value would
+    // fingerprint as identical
+    val dir = Files.createTempDirectory("graft_diffn").toString
+    Seq(("p", Some(7L), Option.empty[Long])).toDF("part", "u", "v")
+      .write.partitionBy("part").parquet(s"$dir/a")
+    Seq(("p", Option.empty[Long], Some(7L))).toDF("part", "u", "v")
+      .write.partitionBy("part").parquet(s"$dir/b")
+    val d = Snapshots.diffTables(spark, s"$dir/a", s"$dir/b", "part").collect()
+    assert(d.length == 1 && d(0).getString(1) == "changed")
+  }
+
   test("resumable write: kill/rerun at partition granularity recomputes only missing partitions") {
     val dir = Files.createTempDirectory("graft_snap").toString
     val table = s"$dir/tiles"
@@ -205,7 +220,7 @@ class SnapshotsSpec extends SparkTestBase {
     val snap = Snapshots.readTable(spark, table)
     val fp = snap.groupBy(col("huc8").as("part"))
       .agg(count(lit(1)).as("rows"),
-        bit_xor(xxhash64(struct(snap.columns.sorted.map(col): _*))).as("xor"))
+        bit_xor(Snapshots.rowHash(snap)).as("xor"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     lin.foreach { l => assert(fp(l.part) == ((l.rows, l.xor)), s"fingerprint drift at ${l.part}") }
   }
