@@ -229,7 +229,14 @@ object Bench {
       // clones + every other shard — the verify join sees real near-dup
       // candidates (an inter-shard split would find zero by construction
       // and measure only shingling/banding)
-      "incr_dedup" -> (c => graft.ops.TextOps.incrementalDedup(c, 1000000L)))
+      "incr_dedup" -> (c => graft.ops.TextOps.incrementalDedup(c, 1000000L)),
+      // the one ITERATIVE op (min-label propagation + pointer jumping over
+      // the dup-edge table): edges scale linearly with shards (per-shard
+      // clone structure, no cross-shard dups) and rounds stay O(log max
+      // cluster) — constant here — so end-to-end docs/sec must stay flat;
+      // a sub-linear ratio would mean the loop's per-round cost picked up
+      // a corpus-sized term
+      "dup_components" -> (c => graft.ops.DedupGraph.dupComponents(c)))
     val dedupOps = opFilter.fold(allOps)(f => allOps.filter(o => f(o._1)))
     // Shuffle parallelism sized to the DATA, not the core count — scoped to
     // the dedup legs and scaled PER LEG: with AQE's initial partition count

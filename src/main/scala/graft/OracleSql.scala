@@ -168,6 +168,34 @@ object OracleSql {
       |    AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.doc_id < b.doc_id
       |)""".stripMargin
 
+  // ---- shared dedup-verify chain (distinct shingle-hash table → exact
+  // Jaccard over the LSH candidate pairs) — the q16 chain, promoted to vals
+  // for the dup-graph / decontamination / heavy-hitter family ----
+
+  val dsh: String =
+    """dsh AS (SELECT DISTINCT doc_id,
+      |  CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS hb FROM sh)""".stripMargin
+
+  val shSz: String = "sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id)"
+
+  val shInter: String =
+    """inter AS (
+      |  SELECT p2.doc_a, p2.doc_b, count(*) AS i
+      |  FROM prs p2 JOIN dsh a ON p2.doc_a = a.doc_id
+      |  JOIN dsh b ON p2.doc_b = b.doc_id AND a.hb = b.hb
+      |  GROUP BY p2.doc_a, p2.doc_b
+      |)""".stripMargin
+
+  val jacCte: String =
+    """jac AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |    CAST(coalesce(i.i, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS DOUBLE) AS jaccard
+      |  FROM prs p
+      |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      |  JOIN sz sa ON sa.doc_id = p.doc_a
+      |  JOIN sz sb ON sb.doc_id = p.doc_b
+      |)""".stripMargin
+
   // ---- paragraph-level dedup (q73) ----
 
   /** Words of each corpus doc (1-based split index → 0-based word pos);

@@ -806,6 +806,48 @@ object SparkEntry {
         .agg(RatingInterp.stageExpr.as("stage_m"),
           RatingInterp.interpUdaf.as("stage_udaf"))),
 
+    // cluster-level dedup ledger: exact-content + verified near-dup edges →
+    // connected components (min-label propagation + pointer jumping) →
+    // canonical doc + cluster size — the keep-one-per-COMPONENT pass that
+    // follows pair generation in C4/RefinedWeb-style dedup
+    "q118_dup_components" -> ((s, dir) =>
+      DedupGraph.dupComponents(Synth.corpus(s, dir))),
+
+    // benchmark decontamination: the eval set's (base docs ≡ 0 mod 37)
+    // distinct 8-gram hashes broadcast against the corpus shingle table;
+    // per-doc overlap count + contamination flag (GPT-3-style n-gram leak
+    // check)
+    "q119_decontaminate" -> ((s, dir) => {
+      val c = Synth.corpus(s, dir)
+      TextOps.decontaminate(c,
+        c.filter(col("doc_id") < 1000000L && col("doc_id") % 37 === 0))
+    }),
+
+    // corpus boilerplate heavy hitters: top-20 shingle hashes by document
+    // frequency (partial agg → TakeOrderedAndProject, no global sort)
+    "q120_shingle_topk" -> ((s, dir) => TextOps.shingleTopK(Synth.corpus(s, dir))),
+
+    // per-doc salient terms: rational TF-IDF (tf·N/df, one double division)
+    // top-3 per doc with total-ordered ties
+    "q121_tfidf" -> ((s, dir) => Lexicon.tfidfTopK(Synth.corpus(s, dir))),
+
+    // inverted-index probe: full postings (doc, tf) for one probe doc's
+    // term set — broadcast term set against the postings table
+    "q122_postings" -> ((s, dir) => Lexicon.postingsProbe(Synth.corpus(s, dir))),
+
+    // vocabulary statistics: df / total tf / id range per word — scalar
+    // aggregates only, no posting arrays (stop-word lists are corpus-sized)
+    "q123_vocab" -> ((s, dir) => Lexicon.vocabulary(Synth.corpus(s, dir))),
+
+    // sequence-packing ledger: concatenate-then-chunk at 2048 tokens per
+    // window, hash-sharded writers — each doc's token interval and the
+    // windows it spans
+    "q124_seq_pack" -> ((s, dir) => Packing.seqPack(Synth.corpus(s, dir))),
+
+    // temperature mix plan: per-language doc/token mass, α=1/2 weight via
+    // exact integer sqrt, normalized weight + integer doc quota
+    "q125_mix_weights" -> ((s, dir) => Packing.mixWeights(Synth.corpus(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1288,6 +1330,127 @@ object SparkEntry {
 
     "q23_reaches" -> withCtes(net)(
       "SELECT hydroid, huc8, order_, length_km, to_node FROM net"),
+
+    // dup-graph connected components: exact-content star edges ∪ Jaccard-
+    // verified LSH pairs, closed by a recursive reachability walk; the Spark
+    // side's min-label propagation must converge to the same min-reachable-id
+    "q118_dup_components" -> withRecursiveCtes(corpus, sh, mh, bnd, prs,
+      dsh, shSz, shInter, jacCte,
+      """epr AS (
+        |  SELECT g.doc_a, c.doc_id AS doc_b
+        |  FROM corpus c JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_a, count(*) AS n
+        |                      FROM corpus GROUP BY md5(text) HAVING count(*) > 1) g
+        |    ON md5(c.text) = g.h
+        |  WHERE c.doc_id <> g.doc_a
+        |)""".stripMargin,
+      """edg AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b FROM epr
+        |    UNION ALL
+        |    SELECT doc_a, doc_b FROM jac WHERE jaccard >= CAST(0.9 AS DOUBLE))
+        |)""".stripMargin,
+      """und AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM edg
+        |  UNION ALL
+        |  SELECT doc_b AS a, doc_a AS b FROM edg
+        |)""".stripMargin,
+      "nds AS (SELECT DISTINCT a AS doc_id FROM und)",
+      """reach AS (
+        |  SELECT doc_id AS node, doc_id AS r FROM nds
+        |  UNION
+        |  SELECT u.b AS node, reach.r AS r FROM reach JOIN und u ON u.a = reach.node
+        |)""".stripMargin,
+      "cmp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)",
+      "csz AS (SELECT component, count(*) AS cluster_size FROM cmp GROUP BY component)")(
+      """SELECT c.doc_id, c.component, s.cluster_size,
+        |  CAST(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM cmp c JOIN csz s ON c.component = s.component""".stripMargin),
+
+    // benchmark decontamination: eval shingle set ⋈ corpus distinct shingles
+    "q119_decontaminate" -> withCtes(corpus, sh, dsh,
+      "esh AS (SELECT DISTINCT hb FROM dsh WHERE doc_id < 1000000 AND doc_id % 37 = 0)",
+      "szq AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY doc_id)",
+      """ovq AS (SELECT d.doc_id, count(*) AS n_overlap
+        |        FROM dsh d JOIN esh e ON d.hb = e.hb GROUP BY d.doc_id)""".stripMargin)(
+      """SELECT o.doc_id, s.n_shingles, o.n_overlap,
+        |  CAST(o.n_overlap AS DOUBLE) / CAST(s.n_shingles AS DOUBLE) AS overlap_frac,
+        |  CAST(CASE WHEN CAST(o.n_overlap AS DOUBLE) / CAST(s.n_shingles AS DOUBLE)
+        |              >= CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM ovq o JOIN szq s ON o.doc_id = s.doc_id""".stripMargin),
+
+    // shingle heavy hitters: total-ordered top-20 by document frequency
+    "q120_shingle_topk" -> withCtes(corpus, sh, dsh)(
+      "SELECT hb, count(*) AS df_docs FROM dsh GROUP BY hb ORDER BY df_docs DESC, hb LIMIT 20"),
+
+    // rational TF-IDF top-3 terms per doc (tf·N exact BIGINT, one division)
+    "q121_tfidf" -> withCtes(corpus, wrd,
+      "tfq AS (SELECT doc_id, w, count(*) AS tf FROM wrd GROUP BY doc_id, w)",
+      "dfq AS (SELECT w, count(*) AS df_docs FROM tfq GROUP BY w)",
+      "ndc AS (SELECT count(*) AS n_docs FROM corpus)",
+      """scq AS (
+        |  SELECT t.doc_id, t.w, t.tf, d.df_docs,
+        |    CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df_docs AS DOUBLE) AS score
+        |  FROM tfq t JOIN dfq d ON t.w = d.w CROSS JOIN ndc n
+        |)""".stripMargin,
+      """rkq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+        |  FROM scq
+        |)""".stripMargin)(
+      """SELECT doc_id, w, tf, df_docs, score, CAST(rnk AS INT) AS rnk
+        |FROM rkq WHERE rnk <= 3""".stripMargin),
+
+    // inverted-index probe: postings for doc 7's term set
+    "q122_postings" -> withCtes(corpus, wrd,
+      "tfq AS (SELECT doc_id, w, count(*) AS tf FROM wrd GROUP BY doc_id, w)",
+      "trm AS (SELECT DISTINCT w FROM wrd WHERE doc_id = 7)")(
+      "SELECT t.w, t.doc_id, t.tf FROM tfq t JOIN trm ON t.w = trm.w"),
+
+    // vocabulary stats: scalar aggregates per word
+    "q123_vocab" -> withCtes(corpus, wrd,
+      "tfq AS (SELECT doc_id, w, count(*) AS tf FROM wrd GROUP BY doc_id, w)")(
+      """SELECT w, count(*) AS df_docs, CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  min(doc_id) AS doc_min, max(doc_id) AS doc_max
+        |FROM tfq GROUP BY w""".stripMargin),
+
+    // sequence packing: per-shard running token offsets, windows spanned
+    "q124_seq_pack" -> withCtes(corpus,
+      """tok AS (
+        |  SELECT doc_id, CAST(doc_id % 64 AS INT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM corpus
+        |)""".stripMargin,
+      """cum AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        |  FROM tok
+        |)""".stripMargin)(
+      """SELECT doc_id, shard, n_tokens,
+        |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+        |  CAST(tok_end AS BIGINT) AS tok_end,
+        |  CAST((tok_end - n_tokens) // 2048 AS BIGINT) AS seq_first,
+        |  CAST((tok_end - 1) // 2048 AS BIGINT) AS seq_last,
+        |  CAST((tok_end - 1) // 2048 - (tok_end - n_tokens) // 2048 + 1 AS BIGINT) AS n_seqs
+        |FROM cum""".stripMargin),
+
+    // mix plan: α=1/2 weights via exact integer sqrt + correction ladder
+    "q125_mix_weights" -> withCtes(corpus,
+      """per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM corpus GROUP BY lang
+        |)""".stripMargin,
+      """wq AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CASE WHEN s1 * s1 > n_docs THEN s1 - 1
+        |         WHEN (s1 + 1) * (s1 + 1) <= n_docs THEN s1 + 1
+        |         ELSE s1 END AS w_sqrt
+        |  FROM (SELECT *, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s1 FROM per)
+        |)""".stripMargin,
+      "tot AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS w_total FROM wq)")(
+      """SELECT lang, n_docs, n_tokens, w_sqrt,
+        |  CAST(w_sqrt AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight,
+        |  CAST((w_sqrt * 1000000) // w_total AS BIGINT) AS quota_docs
+        |FROM wq CROSS JOIN tot""".stripMargin),
 
     "q93_dup_clusters" -> withCtes(corpus,
       """cl93 AS (

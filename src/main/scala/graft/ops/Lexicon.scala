@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical/retrieval operators over the web-text corpus: term frequencies,
+  * TF-IDF salient terms, an inverted-index probe, and corpus vocabulary
+  * statistics — the text-side ops a training-data pipeline runs for topic
+  * sampling, quality heuristics and benchmark-leak triage.
+  *
+  * Scale notes: the word explode is a pure per-row map bounded by
+  * [[WebCuration.MaxWords]] (same derivation as paragraph dedup — zero
+  * exchanges before the first aggregate). TF and DF are partial-aggregating
+  * hash aggregates (map-side combine collapses each doc's words before the
+  * shuffle). The only window is per-doc top-k (partitions ≤ MaxWords rows).
+  * The index probe broadcasts the (definitionally small) term set; full
+  * posting lists are never collected into one row — stop-word postings are
+  * corpus-sized, so the index stays in TABLE form (w, doc_id, tf) and the
+  * vocabulary stats keep only scalar aggregates per word.
+  */
+object Lexicon {
+
+  /** (doc_id, w): first [[WebCuration.MaxWords]] whitespace words per doc —
+    * the oracle mirrors with a bounded generate_series over string_split. */
+  def words(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(s"slice(split(text, ' '), 1, ${WebCuration.MaxWords})")).as("w"))
+
+  /** Term frequencies: one row per (doc_id, w). */
+  def termFreq(docs: DataFrame): DataFrame =
+    words(docs).groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+
+  /** q121: top-`k` salient terms per doc by a rational TF-IDF
+    * (tf · N / df — exact BIGINT product, ONE double division, so Spark and
+    * DuckDB agree bitwise; the usual log-idf would leak libm differences).
+    * Ties break by term text so the cut is total-ordered. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = termFreq(docs)
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df_docs"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "w")
+      .crossJoin(broadcast(n)) // 1-row total, broadcast by construction
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df_docs").cast("double"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("w"), col("tf"), col("df_docs"), col("score"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** q122: inverted-index probe — full postings (doc_id, tf) for the terms of
+    * one probe document (the retrieval shape: a SMALL term set broadcast
+    * against the corpus-sized postings table; output bounded by term
+    * selectivity, never by vocabulary size). */
+  def postingsProbe(docs: DataFrame, probeDocId: Long = 7L): DataFrame = {
+    val terms = words(docs.filter(col("doc_id") === probeDocId))
+      .select(col("w")).distinct()
+    termFreq(docs).join(broadcast(terms), "w")
+      .select(col("w"), col("doc_id"), col("tf"))
+  }
+
+  /** q123: corpus vocabulary statistics per word — document frequency, total
+    * term count, id range. Scalar aggregates only (no posting arrays), one
+    * partial-aggregating shuffle on `w`; skewed stop-words cost one hot key
+    * in a combine-collapsed agg, not a collected list. */
+  def vocabulary(docs: DataFrame): DataFrame =
+    termFreq(docs).groupBy(col("w"))
+      .agg(count(lit(1)).as("df_docs"), sum(col("tf")).as("tf_total"),
+        min(col("doc_id")).as("doc_min"), max(col("doc_id")).as("doc_max"))
+}

@@ -455,4 +455,51 @@ object TextOps {
       .select(col("doc_id"),
         when(size(col("tops")) >= 4, concat_ws("", col("tops"))).as("fp"),
         size(col("tops")).cast("bigint").as("k"))
+
+  /** Benchmark decontamination (q119) — the eval-set-leak check every
+    * training corpus needs before release (GPT-3 §2.2 / PaLM-style 8-gram
+    * overlap): the distinct shingle hashes of the (definitionally small)
+    * eval set are broadcast against the corpus shingle table; each corpus
+    * doc reports how many of its distinct shingles appear in ANY eval doc
+    * and is flagged past `fracMin` overlap. Only overlapping docs are
+    * emitted (the 100 TB common case: almost every doc has zero overlap and
+    * never leaves its map task — the broadcast hash join filters it out
+    * before any shuffle).
+    *
+    * The broadcast is BY CONSTRUCTION safe, unlike the dedup candidate sets
+    * ([[ngramJaccardFrom]]'s rationale): an eval benchmark is a fixed,
+    * human-curated artifact orders of magnitude below executor memory, not
+    * a data-dependent set that a re-crawl storm can inflate. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      fracMin: Double = 0.2): DataFrame = {
+    val evalHb = shingleHashes(evalDocs).select(col("hb")).distinct()
+      .withColumn("hit", lit(1))
+    // ONE corpus pass: left-broadcast-join the eval set (distinct (doc_id,hb)
+    // ⋈ distinct hb is 1:≤1 — no row multiplication), then a single partial-
+    // aggregating groupBy carries BOTH counts. The two-pass form (separate
+    // sizes agg + overlap agg) scans and exchanges the corpus-sized shingle
+    // table twice for the same row set.
+    val sh = shingleHashes(docs)
+    sh.join(broadcast(evalHb), Seq("hb"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles").cast("double")).as("overlap_frac"),
+        (col("n_overlap").cast("double") / col("n_shingles").cast("double") >= fracMin)
+          .cast("int").as("contaminated"))
+  }
+
+  /** Corpus-level shingle heavy hitters (q120): the `k` most document-
+    * frequent shingle hashes — the boilerplate detector (cookie banners,
+    * nav bars) that feeds line/paragraph-removal rules. ONE partial-
+    * aggregating count over the distinct (doc_id, hb) table, then a
+    * TakeOrderedAndProject top-k (per-partition heaps + driver merge of k
+    * rows — never a global sort); ties at the boundary break by hb so the
+    * cut is total-ordered at any partitioning. */
+  def shingleTopK(docs: DataFrame, k: Int = 20): DataFrame =
+    shingleHashes(docs)
+      .groupBy(col("hb")).agg(count(lit(1)).as("df_docs"))
+      .orderBy(col("df_docs").desc, col("hb").asc)
+      .limit(k)
 }

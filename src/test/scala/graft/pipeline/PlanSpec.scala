@@ -205,6 +205,76 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_count"), "combo counts lost map-side combine")
   }
 
+  test("decontaminate: ONE corpus pass — eval set broadcast, single hash exchange") {
+    // the 100 TB shape: the (definitionally small) eval shingle set is the
+    // ONLY broadcast; the corpus shingle table is scanned once and exchanged
+    // once (both counts ride the same partial-aggregating groupBy). A second
+    // doc_id exchange means the two-pass sizes+overlap shape regressed in.
+    // (The eval side's own distinct-hb exchange is over the small table and
+    // sits below the broadcast — allowed.) A PLAIN parquet read, not
+    // Synth.corpus: the synth table is a 3-branch union, so per-side scan
+    // counts would triple and mask a genuine input-duplication regression.
+    val c = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = physical(graft.ops.TextOps.decontaminate(
+      c, c.filter(col("doc_id") % 37 === 0)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size === 1,
+      "corpus shingle table exchanged more than once:\n" + plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      "unexpected extra exchange beyond corpus agg + eval distinct:\n" + plan.take(3000))
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, // corpus + eval subset
+      "corpus scanned more than once per side:\n" + plan.take(3000))
+    assert(plan.contains("partial_count"), "overlap counts lost map-side combine")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("shingle top-k: TakeOrderedAndProject, never a global sort exchange") {
+    val plan = physical(graft.ops.TextOps.shingleTopK(Synth.corpus(spark, sf0001)))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "top-k regressed to a global sort:\n" + plan.take(3000))
+    assert(plan.contains("partial_count"), "document-frequency agg lost map-side combine")
+  }
+
+  test("tfidf top-k: WindowGroupLimit bounds per-doc state; corpus total broadcast") {
+    val plan = physical(graft.ops.Lexicon.tfidfTopK(Synth.corpus(spark, sf0001)))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-doc top-k lost the group-limit pushdown:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"),
+      "1-row n_docs total must broadcast, not cartesian:\n" + plan.take(2000))
+  }
+
+  test("postings probe: term set broadcast against the postings table") {
+    val plan = physical(graft.ops.Lexicon.postingsProbe(Synth.corpus(spark, sf0001)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "probe term set degraded to SMJ — postings side would shuffle:\n" + plan.take(2000))
+  }
+
+  test("seq pack: ONE exchange (the shard key); sort confined to shard partitions") {
+    val plan = physical(graft.ops.Packing.seqPack(Synth.corpus(spark, sf0001)))
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(plan).size === 1,
+      "packing must shuffle once on the writer-shard key:\n" + plan.take(3000))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "packing sort regressed to a GLOBAL sort:\n" + plan.take(3000))
+  }
+
+  test("mix weights: scalar aggregates + broadcast total, no extra exchange") {
+    val plan = physical(graft.ops.Packing.mixWeights(Synth.corpus(spark, sf0001)))
+    assert(plan.contains("partial_count"), "per-lang agg lost map-side combine")
+    assert(!plan.contains("CartesianProduct"),
+      "1-row total must broadcast, not cartesian:\n" + plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      "mix plan should be two bounded aggregates:\n" + plan.take(3000))
+  }
+
+  test("dup-graph edges: bucketed/equi joins only — never all-pairs") {
+    val plan = physical(graft.ops.DedupGraph.dupEdges(Synth.corpus(spark, sf0001)))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("compaction plan: single-partition window only AFTER the manifest-scale agg") {
     val plan = physical(Maintenance.hucCompactionPlan(spark, sf0001))
     // the one SinglePartition exchange sits above the per-huc8 aggregate
