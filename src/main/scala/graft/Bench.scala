@@ -236,7 +236,12 @@ object Bench {
       // cluster) — constant here — so end-to-end docs/sec must stay flat;
       // a sub-linear ratio would mean the loop's per-round cost picked up
       // a corpus-sized term
-      "dup_components" -> (c => graft.ops.DedupGraph.dupComponents(c)))
+      "dup_components" -> (c => graft.ops.DedupGraph.dupComponents(c)),
+      // round-5 additions: the span-level duplication profile (corpus-sized
+      // shingle join — the jaccard family's cost shape) and the BPE pair
+      // count (word-level map + one partial agg + TakeOrdered)
+      "dup_spans" -> (c => graft.ops.TextOps.dupSpanProfile(c)),
+      "bpe_pairs" -> (c => graft.ops.Lexicon.bpePairs(c)))
     val dedupOps = opFilter.fold(allOps)(f => allOps.filter(o => f(o._1)))
     // Shuffle parallelism sized to the DATA, not the core count — scoped to
     // the dedup legs and scaled PER LEG: with AQE's initial partition count

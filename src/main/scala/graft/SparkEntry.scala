@@ -848,6 +848,23 @@ object SparkEntry {
     // exact integer sqrt, normalized weight + integer doc quota
     "q125_mix_weights" -> ((s, dir) => Packing.mixWeights(Synth.corpus(s, dir))),
 
+    // span-level duplication profile (duplicated-substring dedup view):
+    // per-doc duplicated-shingle count/fraction + heavy-dup verdict
+    "q126_dup_spans" -> ((s, dir) => TextOps.dupSpanProfile(Synth.corpus(s, dir))),
+
+    // one BPE-style merge iteration: top-20 adjacent word pairs, total-ordered
+    "q127_bpe_pairs" -> ((s, dir) => Lexicon.bpePairs(Synth.corpus(s, dir))),
+
+    // physical-layout evidence: Z-order vs hash bucket zone maps + bbox skip
+    "q128_zorder_skip" -> ((s, dir) => Layout.zoneMaps(Synth.points(s, dir),
+      ProbeRowLo, ProbeRowHi, ProbeColLo, ProbeColHi)),
+
+    // rational-surprisal (perplexity-proxy) quality bucketing
+    "q129_rarity_bucket" -> ((s, dir) => Lexicon.rarityBuckets(Synth.corpus(s, dir))),
+
+    // per-domain cap: keep top-2 canonical URLs per host
+    "q130_domain_cap" -> ((s, dir) => WebCuration.domainCap(Synth.pages(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -859,6 +876,13 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"),
           sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("sum_cents")))
   )
+
+  /** q128 probe bbox — the NYC-cluster rows/cols at BaseRes, computed from
+    * the same codec the engine uses so Spark and oracle share literals. */
+  private val ProbeRowLo = Cells.latToRow(40.0, Cells.BaseRes)
+  private val ProbeRowHi = Cells.latToRow(42.0, Cells.BaseRes)
+  private val ProbeColLo = Cells.lngToCol(-74.0, Cells.BaseRes)
+  private val ProbeColHi = Cells.lngToCol(-72.0, Cells.BaseRes)
 
   /** Shared q95/q106 oracle chain: per-(catchment, benchmark, magnitude)
     * contingency counts from ONE mosaic pass (mirrors
@@ -1451,6 +1475,98 @@ object SparkEntry {
         |  CAST(w_sqrt AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight,
         |  CAST((w_sqrt * 1000000) // w_total AS BIGINT) AS quota_docs
         |FROM wq CROSS JOIN tot""".stripMargin),
+
+    // span-level duplication profile: df per shingle hash, per-doc dup share
+    "q126_dup_spans" -> withCtes(corpus, sh, dsh,
+      "dfq AS (SELECT hb, count(*) AS df_docs FROM dsh GROUP BY hb)")(
+      """SELECT d.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.df_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN f.df_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac,
+        |  CAST(CASE WHEN CAST(sum(CASE WHEN f.df_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+        |    THEN 1 ELSE 0 END AS INT) AS heavy_dup
+        |FROM dsh d JOIN dfq f ON d.hb = f.hb GROUP BY d.doc_id""".stripMargin),
+
+    // BPE merge step: adjacent word pairs from the bounded word table
+    "q127_bpe_pairs" -> withCtes(corpus, wrd,
+      """bpr AS (
+        |  SELECT a.w AS w1, b.w AS w2
+        |  FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |)""".stripMargin)(
+      """SELECT w1, w2, count(*) AS n_pairs FROM bpr GROUP BY w1, w2
+        |ORDER BY n_pairs DESC, w1, w2 LIMIT 20""".stripMargin),
+
+    // Z-order vs hash layout zone maps: Morton interleave via exact integer
+    // arithmetic, prefix buckets, per-bucket min/max + probe-box skip verdict
+    "q128_zorder_skip" -> {
+      val zexpr = (0 until graft.ops.Layout.ZBits).map { b =>
+        s"((cr // ${1L << b}) % 2) * ${1L << (2 * b + 1)} + ((cc // ${1L << b}) % 2) * ${1L << (2 * b)}"
+      }.mkString(" + ")
+      withCtes(pts,
+        """zc AS (
+          |  SELECT pid,
+          |    CAST(floor((lat + 90.0) / 180.0 * 4096.0) AS BIGINT) AS cr,
+          |    CAST(floor((lng + 180.0) / 360.0 * 8192.0) AS BIGINT) AS cc
+          |  FROM pts
+          |)""".stripMargin,
+        s"zk AS (SELECT pid, cr, cc, $zexpr AS zkey FROM zc)",
+        s"""lay AS (
+           |  SELECT 'zorder' AS layout, zkey // ${1L << graft.ops.Layout.BucketShift} AS bucket, cr, cc FROM zk
+           |  UNION ALL
+           |  SELECT 'hash' AS layout, pid % 64 AS bucket, cr, cc FROM zc
+           |)""".stripMargin)(
+        s"""SELECT layout, bucket, count(*) AS n_pages,
+           |  min(cr) AS row_min, max(cr) AS row_max,
+           |  min(cc) AS col_min, max(cc) AS col_max,
+           |  CAST(CASE WHEN min(cr) <= $ProbeRowHi AND max(cr) >= $ProbeRowLo
+           |    AND min(cc) <= $ProbeColHi AND max(cc) >= $ProbeColLo
+           |    THEN 0 ELSE 1 END AS INT) AS can_skip
+           |FROM lay GROUP BY layout, bucket""".stripMargin)
+    },
+
+    // rational surprisal: rarity = corpus_tokens DIV word_count (exact
+    // BIGINT), per-doc integer sum, one division, fixed-threshold buckets
+    "q129_rarity_bucket" -> withCtes(corpus, wrd,
+      "tfw AS (SELECT w, count(*) AS tf_total FROM wrd GROUP BY w)",
+      "ntot AS (SELECT count(*) AS n_total FROM wrd)",
+      "rar AS (SELECT w, n_total // tf_total AS rarity FROM tfw CROSS JOIN ntot)",
+      """dsc AS (
+        |  SELECT d.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(r.rarity) AS BIGINT) AS rarity_sum
+        |  FROM wrd d JOIN rar r ON d.w = r.w GROUP BY d.doc_id
+        |)""".stripMargin,
+      """msc AS (
+        |  SELECT doc_id, n_tokens, rarity_sum,
+        |    CAST(rarity_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_rarity
+        |  FROM dsc
+        |)""".stripMargin)(
+      """SELECT doc_id, n_tokens, rarity_sum, mean_rarity,
+        |  CASE WHEN mean_rarity < CAST(10.0 AS DOUBLE) THEN 'common'
+        |       WHEN mean_rarity < CAST(100.0 AS DOUBLE) THEN 'typical'
+        |       WHEN mean_rarity < CAST(1000.0 AS DOUBLE) THEN 'rare'
+        |       ELSE 'exotic' END AS bucket
+        |FROM msc""".stripMargin),
+
+    // per-domain cap over the canonical-URL table (q74 chain + ranked cut)
+    "q130_domain_cap" -> withCtes(flog,
+      """cano AS (
+        |  SELECT pid, fetch_ts,
+        |    lower(split_part(split_part(raw, '#', 1), '?', 1)) AS canon
+        |  FROM flog
+        |)""".stripMargin,
+      """cu AS (
+        |  SELECT canon, split_part(canon, '/', 3) AS host,
+        |    count(*) AS n_fetches, max(fetch_ts) AS latest_ts, min(pid) AS first_pid
+        |  FROM cano GROUP BY canon, split_part(canon, '/', 3)
+        |)""".stripMargin,
+      """rkd AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY host ORDER BY n_fetches DESC, canon) AS rnk
+        |  FROM cu
+        |)""".stripMargin)(
+      """SELECT host, canon, n_fetches, latest_ts, first_pid, CAST(rnk AS INT) AS rnk
+        |FROM rkd WHERE rnk <= 2""".stripMargin),
 
     "q93_dup_clusters" -> withCtes(corpus,
       """cl93 AS (

@@ -70,4 +70,53 @@ object Lexicon {
     termFreq(docs).groupBy(col("w"))
       .agg(count(lit(1)).as("df_docs"), sum(col("tf")).as("tf_total"),
         min(col("doc_id")).as("doc_min"), max(col("doc_id")).as("doc_max"))
+
+  /** q127: one BPE-style merge iteration — the top-`k` adjacent word pairs by
+    * corpus count (the distributed inner step of tokenizer training: count
+    * candidate merges, pick the argmax, repeat). Pair derivation is a pure
+    * per-row `transform` over the bounded word array (zero exchanges before
+    * the aggregate — same derivation discipline as paragraph dedup); the
+    * count is ONE partial-aggregating shuffle on (w1, w2), and the top-k cut
+    * is total-ordered by (count desc, w1, w2) so ties can't flap the result.
+    * At 100 TB the candidate-pair table is vocabulary²-bounded but sparse;
+    * the map-side combine collapses each doc's repeats before the exchange
+    * and the global top-k is a TakeOrdered, never a full sort. */
+  def bpePairs(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(expr(s"slice(split(text, ' '), 1, ${WebCuration.MaxWords})").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+
+  /** q129: CCNet-style quality bucketing with a rational surprisal proxy —
+    * per-token rarity = corpus_tokens DIV token_count (exact BIGINT integer
+    * division; real perplexity needs libm `log`, which is not bit-portable
+    * across engines — an inverse-frequency ladder orders documents the same
+    * way and stays exact), per-doc score = integer sum of rarities, mean =
+    * ONE double division, bucket by fixed thresholds. Plan: two hash aggs +
+    * one join on `w` (corpus-sized but partial-aggregated both sides) + the
+    * broadcast 1-row total; no window, no sort — linear at any corpus size. */
+  def rarityBuckets(docs: DataFrame): DataFrame = {
+    val w = words(docs)
+    val tfTot = w.groupBy(col("w")).agg(count(lit(1)).as("tf_total"))
+    val total = w.agg(count(lit(1)).as("n_total"))
+    val rarity = tfTot.crossJoin(broadcast(total)) // 1-row total, broadcast
+      .select(col("w"), expr("n_total div tf_total").as("rarity"))
+    w.join(rarity, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rarity")).as("rarity_sum"))
+      .withColumn("mean_rarity",
+        col("rarity_sum").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("bucket",
+        when(col("mean_rarity") < 10.0, lit("common"))
+          .when(col("mean_rarity") < 100.0, lit("typical"))
+          .when(col("mean_rarity") < 1000.0, lit("rare"))
+          .otherwise(lit("exotic")))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        col("mean_rarity"), col("bucket"))
+  }
 }

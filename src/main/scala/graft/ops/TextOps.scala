@@ -502,4 +502,26 @@ object TextOps {
       .groupBy(col("hb")).agg(count(lit(1)).as("df_docs"))
       .orderBy(col("df_docs").desc, col("hb").asc)
       .limit(k)
+
+  /** Substring-duplication profile (q126) — the span-level view behind
+    * "dedup duplicated substrings, not just whole documents" (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"): per
+    * doc, how many of its distinct char-8-gram spans also occur in ≥ 2 docs
+    * corpus-wide, the duplicated fraction, and a heavy-dup verdict at 50 %.
+    * Plan: ONE document-frequency hash agg over the shared (doc_id, hb)
+    * table, one equi-join back on `hb` (both sides partial-aggregated, AQE
+    * skew-splittable on boilerplate-hot hashes), one per-doc agg — no
+    * window, no sort, linear in corpus shingles. */
+  def dupSpanProfile(docs: DataFrame, heavyFrac: Double = 0.5): DataFrame = {
+    val dsh = shingleHashes(docs)
+    val df = dsh.groupBy(col("hb")).agg(count(lit(1)).as("df_docs"))
+    dsh.join(df, "hb")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_shingles").cast("double"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"), col("dup_frac"),
+        (col("dup_frac") >= heavyFrac).cast("int").as("heavy_dup"))
+  }
 }

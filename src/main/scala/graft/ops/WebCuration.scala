@@ -113,6 +113,23 @@ object WebCuration {
       .agg(count(lit(1)).as("n_fetches"), max(col("fetch_ts")).as("latest_ts"),
         min(col("pid")).as("first_pid"))
 
+  /** Per-domain cap (q130) — C4-style host throttling: keep at most `k`
+    * canonical URLs per host so no single domain dominates the training mix.
+    * Order inside a host is total — (n_fetches desc, canon asc) — so the cut
+    * is deterministic at any partitioning. The row_number ≤ k filter is the
+    * WindowGroupLimit shape: Spark pushes the rank limit into per-partition
+    * top-k heaps before the exchange, so a million-page host costs k rows
+    * after the map side, never a full per-host sort spill. */
+  def domainCap(pages: DataFrame, k: Int = 2): DataFrame = {
+    val byHost = Window.partitionBy(col("host"))
+      .orderBy(col("n_fetches").desc, col("canon").asc)
+    canonicalUrls(pages)
+      .withColumn("rnk", row_number().over(byHost))
+      .filter(col("rnk") <= k)
+      .select(col("host"), col("canon"), col("n_fetches"), col("latest_ts"),
+        col("first_pid"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** Deterministic stratified subsample (q81) — training-mix balancing: per
     * language, keep the first ceil(frac · n_lang) documents in content-hash
     * order (md5 of the id — a fixed pseudo-random permutation, so the sample

@@ -109,6 +109,40 @@ class LexiconSpec extends SparkTestBase {
     assert(got("a") == (2L, 3L) && got("b") == (1L, 1L) && got("c") == (1L, 1L))
   }
 
+  // ---- Lexicon.bpePairs / rarityBuckets ----
+
+  test("bpePairs: the repeated bigram wins; ties break lexicographically") {
+    val d = docs(
+      1L -> "to be or not to be",   // "to be" twice
+      2L -> "to be is to be",       // "to be" twice more
+      3L -> "aa bb aa bb")          // "aa bb" twice, "bb aa" once
+    val top = Lexicon.bpePairs(d, k = 3)
+      .select("w1", "w2", "n_pairs").as[(String, String, Long)].collect()
+    assert(top.head == (("to", "be", 4L)))
+    // count-2 tier: ("aa","bb") sorts before ("be","or"/"is") lexicographically
+    assert(top(1) == (("aa", "bb", 2L)))
+  }
+
+  test("bpePairs: single-word docs contribute nothing") {
+    val d = docs(1L -> "alone", 2L -> "x y")
+    val got = Lexicon.bpePairs(d).as[(String, String, Long)].collect()
+    assert(got.toSeq == Seq(("x", "y", 1L)))
+  }
+
+  test("rarityBuckets: common-word docs score below unique-word docs; sums exact") {
+    val d = docs(
+      1L -> "the the the the",       // tf(the)=8 of 12 → rarity 1
+      2L -> "the the the the",
+      3L -> "qx zq wv jk")           // tf each = 1 → rarity 12
+    val got = Lexicon.rarityBuckets(d)
+      .select("doc_id", "n_tokens", "rarity_sum", "bucket")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // total tokens = 12; rarity(the) = 12 div 8 = 1; rarity(unique) = 12,
+    // so doc 3's mean = 48/4 = 12 → "typical" (≥10, <100)
+    assert(got(1L) == ((1L, 4L, 4L, "common")))
+    assert(got(3L) == ((3L, 4L, 48L, "typical")))
+  }
+
   test("corpus-level sanity at sf0.001: exact clones cluster with their source") {
     val c = Synth.corpus(spark, sf0001)
     val comp = DedupGraph.dupComponents(c).cache()

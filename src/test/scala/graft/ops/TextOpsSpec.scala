@@ -118,4 +118,22 @@ class TextOpsSpec extends SparkTestBase {
     val direct = TextOps.incrementalDedup(corpus)
     assert(viaArtifacts.except(direct).isEmpty && direct.except(viaArtifacts).isEmpty)
   }
+
+  test("dupSpanProfile: exact clones are 100% duplicated spans; counts bounded") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.dupSpanProfile(corpus).cache()
+    // every exact clone shares all its shingles with its source
+    val clones = out.filter(col("doc_id") >= 2000000L)
+    assert(clones.count() > 0)
+    assert(clones.filter(col("dup_frac") =!= 1.0 || col("heavy_dup") =!= 1).count() == 0)
+    // n_dup never exceeds n_shingles; fractions in [0,1]
+    assert(out.filter(col("n_dup") > col("n_shingles") ||
+      col("dup_frac") < 0.0 || col("dup_frac") > 1.0).count() == 0)
+    // truncated near-clones (id >= 1,000,000, < 2,000,000) are heavy dups too:
+    // all their shingles come from the source's first 502 chars
+    val nears = out.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+    assert(nears.count() > 0)
+    assert(nears.filter(col("heavy_dup") =!= 1).count() == 0)
+    out.unpersist()
+  }
 }

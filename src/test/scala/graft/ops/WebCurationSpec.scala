@@ -94,6 +94,21 @@ class WebCurationSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("domainCap: at most k rows per host, highest-fetch URLs win, rank is total-ordered") {
+    val pages = Synth.pages(spark, sf0001)
+    val out = WebCuration.domainCap(pages, k = 2).cache()
+    // cap respected
+    assert(out.groupBy($"host").count().filter($"count" > 2).count() === 0)
+    // no dropped URL out-fetches a kept one on the same host
+    val full = WebCuration.canonicalUrls(pages)
+    val kept = out.select($"host", $"n_fetches".as("kept_f"))
+    val dropped = full.join(out.select($"canon").withColumn("k", lit(1)), Seq("canon"), "left_anti")
+    val worstKept = kept.groupBy($"host").agg(min($"kept_f").as("min_kept"))
+    val bad = dropped.join(worstKept, "host").filter($"n_fetches" > $"min_kept")
+    assert(bad.count() === 0)
+    out.unpersist()
+  }
+
   test("compaction plan: tasks are contiguous in key order and bounded by target + one partition") {
     import graft.pipeline.Maintenance
     val plan = Maintenance.hucCompactionPlan(spark, sf0001).cache()

@@ -275,6 +275,40 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("dup-span profile: pure hash aggregates + one equi-join, never a window") {
+    val plan = physical(graft.ops.TextOps.dupSpanProfile(Synth.corpus(spark, sf0001)))
+    assert(!plan.contains("Window"), "span profile must not sort per doc:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("partial_count"), "df agg lost map-side combine")
+  }
+
+  test("BPE pair count: top-k is TakeOrdered (per-partition heaps), never a global sort") {
+    val plan = physical(graft.ops.Lexicon.bpePairs(Synth.corpus(spark, sf0001)))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "pair top-k regressed to a global sort:\n" + plan.take(2000))
+  }
+
+  test("zone maps: ONE exchange for both layouts (union is map-side, skip is projection)") {
+    val plan = physical(graft.ops.Layout.zoneMaps(
+      Synth.points(spark, sf0001), 2958, 3003, 2412, 2457))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("rarity buckets: aggregate/join pipeline with a broadcast total — no window") {
+    val plan = physical(graft.ops.Lexicon.rarityBuckets(Synth.corpus(spark, sf0001)))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "1-row total must broadcast, not cartesian:\n" + plan.take(2000))
+  }
+
+  test("domain cap: rank filter pushes into WindowGroupLimit (map-side top-k heaps)") {
+    val plan = physical(graft.ops.WebCuration.domainCap(Synth.pages(spark, sf0001)))
+    assert(plan.contains("WindowGroupLimit"),
+      "row_number<=k cut lost the group-limit pushdown:\n" + plan.take(3000))
+  }
+
   test("compaction plan: single-partition window only AFTER the manifest-scale agg") {
     val plan = physical(Maintenance.hucCompactionPlan(spark, sf0001))
     // the one SinglePartition exchange sits above the per-huc8 aggregate
