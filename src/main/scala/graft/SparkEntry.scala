@@ -865,6 +865,25 @@ object SparkEntry {
     // per-domain cap: keep top-2 canonical URLs per host
     "q130_domain_cap" -> ((s, dir) => WebCuration.domainCap(Synth.pages(s, dir))),
 
+    // exact per-language length percentiles via a value-domain histogram —
+    // no global sort, no approx sketch (nearest-rank cuts as integer
+    // comparisons, so the oracle matches bitwise)
+    "q131_length_quantiles" -> ((s, dir) =>
+      Lexicon.lengthQuantiles(Synth.corpus(s, dir))),
+
+    // SemDeDup-style semantic dedup: SRP near-dup pairs closed into
+    // connected components → keep-one-per-MEANING ledger
+    "q132_semantic_dedup" -> ((s, dir) =>
+      DedupGraph.semanticDedup(
+        AnnSearch.nearDupPairs(s.read.parquet(s"$dir/embeddings.parquet")))),
+
+    // fuzzy benchmark decontamination: eval bands ⋈ corpus bands (MinHash
+    // LSH), exact-Jaccard verify, per-doc best eval match + leak flag
+    "q133_fuzzy_decontam" -> ((s, dir) => {
+      val ev = col("doc_id") < 1000000L && col("doc_id") % 37 === 0
+      TextOps.fuzzyDecontaminate(Synth.corpus(s, dir), ev)
+    }),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1303,7 +1322,16 @@ object SparkEntry {
     * bit-sums, nb from the corpus count — the same integer formula as
     * AnnSearch.adaptiveBits) × 8 hyperplane tables, mirroring
     * AnnSearch.nearDupPairs; `body` runs over the dts/nrm tables. */
-  private def neardupOracle(body: String): String = {
+  private def neardupOracle(body: String): String =
+    withCtes(neardupCtes: _*)(body)
+
+  /** [[neardupOracle]] with extra (possibly recursive) CTEs appended — the
+    * q132 semantic-dedup oracle closes the scored pairs into connected
+    * components with a recursive reachability walk. */
+  private def neardupRecursiveOracle(extra: Seq[String])(body: String): String =
+    withRecursiveCtes((neardupCtes ++ extra): _*)(body)
+
+  private def neardupCtes: Seq[String] = {
       val tables = 8
       def bktCte(t: Int): String = {
         val sums = (0 until 16).map(b =>
@@ -1332,7 +1360,7 @@ object SparkEntry {
            |          FROM rt$t, generate_series(1, 8) k(k)) a
            |    JOIN rt$t b ON a.bucket = b.bucket AND a.rn = b.rn""".stripMargin)
         .mkString("\n    UNION ALL\n    ")
-      withCtes(Seq(qt, nrm,
+      Seq(qt, nrm,
         """nbv AS (
           |  SELECT CASE WHEN m <= 1 THEN 2 ELSE greatest(2, least(16, length(bin(m - 1)))) END AS nb
           |  FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)
@@ -1347,7 +1375,7 @@ object SparkEntry {
           |  FROM cp c JOIN qt x ON x.vec_id = c.va
           |  JOIN qt y ON y.vec_id = c.vb AND y.pos = x.pos
           |  GROUP BY c.va, c.vb
-          |)""".stripMargin): _*)(body)
+          |)""".stripMargin)
   }
 
   private def oracleSqlRest: Map[String, String] = Map(
@@ -1567,6 +1595,95 @@ object SparkEntry {
         |)""".stripMargin)(
       """SELECT host, canon, n_fetches, latest_ts, first_pid, CAST(rnk AS INT) AS rnk
         |FROM rkd WHERE rnk <= 2""".stripMargin),
+
+    // exact nearest-rank percentiles over the (lang × length) histogram;
+    // the rank cuts are integer comparisons (cum·den ≥ num·N ⇔ cum ≥ ⌈q·N⌉)
+    "q131_length_quantiles" -> withCtes(corpus,
+      """lq AS (
+        |  SELECT lang,
+        |    CAST(least(len(string_split(text, ' ')), 128) AS BIGINT) AS n_tokens
+        |  FROM corpus
+        |)""".stripMargin,
+      """lh AS (SELECT lang, n_tokens, count(*) AS cnt
+        |       FROM lq GROUP BY lang, n_tokens)""".stripMargin,
+      """lc AS (
+        |  SELECT lang, n_tokens, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM lh
+        |)""".stripMargin,
+      "lt AS (SELECT lang, sum(cnt) AS n_docs FROM lh GROUP BY lang)")(
+      """SELECT c.lang, max(t.n_docs) AS n_docs,
+        |  min(CASE WHEN c.cum * 2 >= t.n_docs THEN c.n_tokens END) AS p50,
+        |  min(CASE WHEN c.cum * 10 >= t.n_docs * 9 THEN c.n_tokens END) AS p90,
+        |  min(CASE WHEN c.cum * 100 >= t.n_docs * 99 THEN c.n_tokens END) AS p99,
+        |  max(c.n_tokens) AS n_max
+        |FROM lc c JOIN lt t ON c.lang = t.lang
+        |GROUP BY c.lang""".stripMargin),
+
+    // semantic-dedup ledger: the SRP scored-pair chain (same CTEs as q49)
+    // at cos ≥ 0.35, closed by a recursive reachability walk to components
+    "q132_semantic_dedup" -> neardupRecursiveOracle(Seq(
+      """spr AS (
+        |  SELECT d.va, d.vb
+        |  FROM dts d JOIN nrm na ON d.va = na.vec_id
+        |  JOIN nrm nb ON d.vb = nb.vec_id
+        |  WHERE CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |    >= CAST(0.35 AS DOUBLE)
+        |)""".stripMargin,
+      """und132 AS (
+        |  SELECT va AS a, vb AS b FROM spr
+        |  UNION ALL
+        |  SELECT vb AS a, va AS b FROM spr
+        |)""".stripMargin,
+      "nds132 AS (SELECT DISTINCT a AS vec_id FROM und132)",
+      """reach132 AS (
+        |  SELECT vec_id AS node, vec_id AS r FROM nds132
+        |  UNION
+        |  SELECT u.b AS node, reach132.r AS r
+        |  FROM reach132 JOIN und132 u ON u.a = reach132.node
+        |)""".stripMargin,
+      "cmp132 AS (SELECT node AS vec_id, min(r) AS component FROM reach132 GROUP BY node)",
+      """csz132 AS (SELECT component, count(*) AS cluster_size
+        |           FROM cmp132 GROUP BY component)""".stripMargin))(
+      """SELECT c.vec_id, c.component, s.cluster_size,
+        |  CAST(CASE WHEN c.vec_id = c.component THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM cmp132 c JOIN csz132 s ON c.component = s.component""".stripMargin),
+
+    // fuzzy decontamination: eval-side bands ⋈ corpus-side bands (no id
+    // ordering — eval ids are interleaved with corpus ids), exact Jaccard
+    // over the candidate pairs, per-corpus-doc argmax eval match
+    "q133_fuzzy_decontam" -> withCtes(corpus, sh, mh, bnd,
+      """fprs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.k0 = b.k0
+        |    AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.k3 = b.k3
+        |  WHERE (a.doc_id < 1000000 AND a.doc_id % 37 = 0)
+        |    AND NOT (b.doc_id < 1000000 AND b.doc_id % 37 = 0)
+        |)""".stripMargin,
+      dsh,
+      "fsz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id)",
+      """fint AS (
+        |  SELECT p2.doc_a, p2.doc_b, count(*) AS i
+        |  FROM fprs p2 JOIN dsh a ON p2.doc_a = a.doc_id
+        |  JOIN dsh b ON p2.doc_b = b.doc_id AND a.hb = b.hb
+        |  GROUP BY p2.doc_a, p2.doc_b
+        |)""".stripMargin,
+      """fj AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(coalesce(i.i, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - coalesce(i.i, 0) AS DOUBLE) AS jaccard
+        |  FROM fprs p
+        |  LEFT JOIN fint i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |  JOIN fsz sa ON sa.doc_id = p.doc_a
+        |  JOIN fsz sb ON sb.doc_id = p.doc_b
+        |)""".stripMargin)(
+      """SELECT doc_b AS doc_id, doc_a AS eval_doc, jaccard,
+        |  CAST(CASE WHEN jaccard >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS leaked
+        |FROM (SELECT doc_a, doc_b, jaccard,
+        |        row_number() OVER (PARTITION BY doc_b ORDER BY jaccard DESC, doc_a ASC) AS rn
+        |      FROM fj)
+        |WHERE rn = 1""".stripMargin),
 
     "q93_dup_clusters" -> withCtes(corpus,
       """cl93 AS (

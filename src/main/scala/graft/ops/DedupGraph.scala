@@ -91,6 +91,26 @@ object DedupGraph {
     labels.select(col("doc_id"), col("comp").as("component"))
   }
 
+  /** q132: SemDeDup-style SEMANTIC dedup ledger — near-duplicate *meaning*,
+    * not near-duplicate *bytes* (Abbas et al. 2023: paraphrases, boilerplate
+    * rewrites and template spins share embeddings, not shingles). Pairs come
+    * from the SRP multi-table candidate path ([[graft.ops.AnnSearch]]
+    * `nearDupPairs` — bucketed, capped, never all-pairs) at cosine ≥
+    * `cosMin`; the same min-label propagation then closes them into
+    * components so a chain of pairwise-similar paraphrases collapses to ONE
+    * kept representative (pair-level keep-one would leave half of every odd
+    * chain in the corpus). Output: one ledger row per vector that
+    * participates in any semantic-dup relation. */
+  def semanticDedup(pairs: DataFrame, cosMin: Double = 0.35): DataFrame = {
+    val edges = pairs.filter(col("cos") >= cosMin)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    val comp = components(edges)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("doc_id").as("vec_id"), col("component"), col("cluster_size"),
+        (col("doc_id") === col("component")).cast("int").as("keep"))
+  }
+
   /** q118: every doc that participates in any dup relation, its component's
     * canonical id, and the component size — the keep/drop ledger of a
     * cluster-level dedup pass (keep ⇔ doc_id = component). */

@@ -92,6 +92,34 @@ object Lexicon {
       .orderBy(col("n_pairs").desc, col("w1").asc, col("w2").asc)
       .limit(k)
 
+  /** q131: EXACT per-language token-length percentiles (nearest-rank p50/p90/
+    * p99) via a value-domain histogram — the scale-safe alternative to both
+    * a global sort (O(n log n) shuffle of every row) and `approx_percentile`
+    * (sketch results differ across engines, so they cannot be oracle-checked
+    * bit-for-bit). The corpus collapses to (lang × distinct length) histogram
+    * rows in ONE partial-aggregating exchange; the cumulative window and the
+    * rank cuts then run over that domain-bounded table (≤ MaxWords rows per
+    * language, whatever the corpus size). Rank cuts are exact integer
+    * comparisons (cum·den ≥ num·N ⇔ cum ≥ ⌈q·N⌉ for integer cum), so Spark
+    * and DuckDB agree bitwise with no floating-point ceil. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val lens = docs.select(col("lang"),
+      least(size(split(col("text"), " ")), lit(WebCuration.MaxWords))
+        .cast("long").as("n_tokens"))
+    val hist = lens.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
+    cum.join(tot, "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(when(col("cum") * 2 >= col("n_docs"), col("n_tokens"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_tokens"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n_docs") * 99, col("n_tokens"))).as("p99"),
+        max(col("n_tokens")).as("n_max"))
+  }
+
   /** q129: CCNet-style quality bucketing with a rational surprisal proxy —
     * per-token rarity = corpus_tokens DIV token_count (exact BIGINT integer
     * division; real perplexity needs libm `log`, which is not bit-portable

@@ -470,6 +470,27 @@ object TextOps {
     * ([[ngramJaccardFrom]]'s rationale): an eval benchmark is a fixed,
     * human-curated artifact orders of magnitude below executor memory, not
     * a data-dependent set that a re-crawl storm can inflate. */
+  /** q133: FUZZY benchmark decontamination — where [[decontaminate]] flags
+    * verbatim n-gram overlap, this catches paraphrased/truncated leaks the
+    * way production eval-protection passes do (MinHash-LSH candidates, then
+    * exact-Jaccard verify), reusing the incremental-dedup machinery with the
+    * eval set as the base side: eval bands ⋈ corpus bands → candidate pairs
+    * (bounded by collision density, never eval×corpus), pairs-scoped
+    * semi-join verify, per-corpus-doc argmax eval match. The eval side is
+    * definitionally small but the CANDIDATE set is what bounds cost, so the
+    * same no-forced-broadcast discipline applies. Output: one row per corpus
+    * doc with ≥1 candidate — best-matching eval doc, its Jaccard, and the
+    * leak flag at `jaccardMin`. */
+  def fuzzyDecontaminate(docs: DataFrame, isEval: org.apache.spark.sql.Column,
+      jaccardMin: Double = 0.5): DataFrame = {
+    val sh = shingleHashes(docs)
+    val bands = bandsOf(minhashWideFrom(sh))
+    incrementalDedupAgainst(sh.filter(isEval), bands.filter(isEval),
+      sh.filter(!isEval), bands.filter(!isEval), jaccardMin)
+      .withColumnRenamed("match_doc", "eval_doc")
+      .withColumnRenamed("is_dup", "leaked")
+  }
+
   def decontaminate(docs: DataFrame, evalDocs: DataFrame,
       fracMin: Double = 0.2): DataFrame = {
     val evalHb = shingleHashes(evalDocs).select(col("hb")).distinct()

@@ -143,6 +143,46 @@ class LexiconSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 4L, 48L, "typical")))
   }
 
+  // ---- Lexicon.lengthQuantiles ----
+
+  test("lengthQuantiles: nearest-rank cuts match the brute-force definition") {
+    // en: lengths 1..10 → N=10; p50 = value at rank ceil(5)=5, p90 at rank 9,
+    // p99 at rank ceil(9.9)=10
+    val en = (1 to 10).map(n => (n.toLong, ("w " * n).trim))
+    // fr: lengths {2,2,7} → N=3; p50 at rank 2 → 2, p90/p99 at rank 3 → 7
+    val fr = Seq((100L, "a b"), (101L, "c d"), (102L, "e f g h i j k"))
+    val d = en.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .unionByName(fr.toDF("doc_id", "text").withColumn("lang", lit("fr")))
+    val got = Lexicon.lengthQuantiles(d)
+      .select("lang", "n_docs", "p50", "p90", "p99", "n_max")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 10L, 5L, 9L, 10L, 10L)))
+    assert(got("fr") == (("fr", 3L, 2L, 7L, 7L, 7L)))
+  }
+
+  test("lengthQuantiles: counts cap at MaxWords (the histogram domain bound)") {
+    val d = docs(1L -> ("w " * 500).trim) // 500 words, capped to 128
+    val got = Lexicon.lengthQuantiles(d)
+      .select("p50", "n_max").as[(Long, Long)].collect().head
+    assert(got == ((128L, 128L)))
+  }
+
+  // ---- DedupGraph.semanticDedup ----
+
+  test("semanticDedup: a cosine chain collapses to one component; sub-threshold pairs drop") {
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.5),   // chain 1-2-3 above the 0.35 cut
+      (10L, 11L, 0.2))                // below the cut -> no edge, no rows
+      .toDF("va", "vb", "cos")
+    val got = DedupGraph.semanticDedup(pairs)
+      .select("vec_id", "component", "cluster_size", "keep")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(r => r._2 == 1L && r._3 == 3L))
+    assert(got.map(r => r._1 -> r._4).toMap == Map(1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
   test("corpus-level sanity at sf0.001: exact clones cluster with their source") {
     val c = Synth.corpus(spark, sf0001)
     val comp = DedupGraph.dupComponents(c).cache()

@@ -119,6 +119,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(viaArtifacts.except(direct).isEmpty && direct.except(viaArtifacts).isEmpty)
   }
 
+  test("fuzzyDecontaminate: truncated copies of eval docs are flagged; the eval side never appears") {
+    // eval set = doc_id < 1,000,000 with doc_id % 37 == 0 (the q119/q133
+    // convention). Truncated near-clones of eval docs (id = base + 1,000,000,
+    // planted for bases % 50 == 0) must surface as leaks at jaccard >= 0.5.
+    val ev = col("doc_id") < 1000000L && col("doc_id") % 37 === 0
+    val out = TextOps.fuzzyDecontaminate(corpus, ev).cache()
+    // output is corpus-side only
+    assert(out.filter(col("doc_id") < 1000000L && col("doc_id") % 37 === 0).count() == 0)
+    // every eval doc with a planted truncated clone (base % lcm(37,50) — use
+    // % 37 == 0 and % 50 == 0) must be caught with that clone leaked
+    val leakBases = corpus.filter(ev && col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"))
+    val caught = out.join(leakBases, "doc_id")
+    assert(leakBases.count() > 0, "sf0.001 corpus plants eval near-clones")
+    assert(caught.count() == leakBases.count(), "every planted eval near-clone surfaces")
+    assert(caught.filter(col("leaked") =!= 1).count() == 0)
+    assert(caught.filter(col("eval_doc") =!= col("doc_id") - 1000000L).count() == 0,
+      "the best match is the clone's own eval source")
+    // jaccard is a valid score everywhere
+    assert(out.filter(col("jaccard") < 0.0 || col("jaccard") > 1.0).count() == 0)
+    out.unpersist()
+  }
+
   test("dupSpanProfile: exact clones are 100% duplicated spans; counts bounded") {
     import org.apache.spark.sql.functions._
     val out = TextOps.dupSpanProfile(corpus).cache()
