@@ -884,6 +884,18 @@ object SparkEntry {
       TextOps.fuzzyDecontaminate(Synth.corpus(s, dir), ev)
     }),
 
+    // exact-substring dedup removal ledger: duplicated gram positions merged
+    // into maximal char intervals (per-doc gaps-and-islands over the
+    // dup-density-scoped survivors)
+    "q134_dup_span_removal" -> ((s, dir) =>
+      TextOps.dupSpanRemoval(Synth.corpus(s, dir))),
+
+    // deterministic KMV distinct-cardinality estimate per language — the
+    // oracle-checkable HyperLogLog stand-in (dense_rank ≤ k pushed into
+    // WindowGroupLimit map-side heaps; exact column is the comparison)
+    "q135_kmv_distinct" -> ((s, dir) =>
+      TextOps.kmvDistinct(Synth.corpus(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1684,6 +1696,51 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_b ORDER BY jaccard DESC, doc_a ASC) AS rn
         |      FROM fj)
         |WHERE rn = 1""".stripMargin),
+
+    // exact-substring removal intervals: positional grams × cross-doc df ≥ 2,
+    // per-doc gaps-and-islands merge of overlapping [pos, pos+7] spans
+    "q134_dup_span_removal" -> withCtes(corpus, sh, dsh,
+      """psh AS (
+        |  SELECT c.doc_id, CAST(g.i AS BIGINT) AS pos,
+        |    CAST('0x' || substring(md5(substring(c.text, g.i, 8)), 1, 15) AS BIGINT) AS hb
+        |  FROM corpus c CROSS JOIN generate_series(1, 505) g(i)
+        |  WHERE g.i <= least(length(c.text), 512) - 7
+        |)""".stripMargin,
+      "sdf AS (SELECT hb, count(*) AS df_docs FROM dsh GROUP BY hb)",
+      """dpp AS (SELECT p.doc_id, p.pos
+        |        FROM psh p JOIN sdf f ON p.hb = f.hb AND f.df_docs >= 2)""".stripMargin,
+      """sisl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 8
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM dpp
+        |)""".stripMargin,
+      """sisl2 AS (
+        |  SELECT doc_id, pos,
+        |    CAST(sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM sisl
+        |)""".stripMargin)(
+      """SELECT doc_id, island, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |  max(pos) + 7 - min(pos) + 1 AS span_len, count(*) AS n_grams
+        |FROM sisl2 GROUP BY doc_id, island""".stripMargin),
+
+    // KMV distinct-cardinality estimate: k-th smallest distinct 60-bit hash
+    // per language; exact count beside it as the comparison baseline
+    "q135_kmv_distinct" -> withCtes(corpus, sh, dsh,
+      """dshl AS (SELECT DISTINCT c.lang, s.hb
+        |         FROM dsh s JOIN corpus c ON s.doc_id = c.doc_id)""".stripMargin,
+      """krk AS (SELECT lang, hb,
+        |  dense_rank() OVER (PARTITION BY lang ORDER BY hb) AS rnk FROM dshl)""".stripMargin,
+      """kst AS (SELECT lang, max(hb) AS kth, count(*) AS n_kept
+        |        FROM krk WHERE rnk <= 64 GROUP BY lang)""".stripMargin,
+      "kex AS (SELECT lang, count(*) AS n_exact FROM dshl GROUP BY lang)")(
+      """SELECT s.lang, e.n_exact, s.n_kept,
+        |  CASE WHEN s.n_kept < 64 THEN CAST(s.n_kept AS DOUBLE)
+        |       ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(s.kth AS DOUBLE) END AS kmv_estimate
+        |FROM kst s JOIN kex e ON s.lang = e.lang""".stripMargin),
 
     "q93_dup_clusters" -> withCtes(corpus,
       """cl93 AS (

@@ -545,4 +545,88 @@ object TextOps {
       .select(col("doc_id"), col("n_shingles"), col("n_dup"), col("dup_frac"),
         (col("dup_frac") >= heavyFrac).cast("int").as("heavy_dup"))
   }
+
+  /** (doc_id, pos, hb): POSITIONAL shingle hashes — same 60-bit md5-prefix
+    * grams as [[shingleHashes]] but keeping each gram's 1-based char offset
+    * (and therefore within-doc repeats). Pure per-row map off the scan. */
+  private def positionalShingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= ShingleLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, " +
+          s"CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT) AS hb))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.hb").as("hb"))
+
+  /** q134: the REMOVAL ledger of exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better") — where
+    * [[dupSpanProfile]] reports how much of a doc is duplicated, this says
+    * WHICH character intervals to cut: every position whose shingle occurs
+    * in ≥ 2 documents, with overlapping [pos, pos+7] gram spans merged into
+    * maximal intervals by a per-doc gaps-and-islands pass (new island when
+    * the next duplicated gram starts ≥ ShingleLen past the previous one, i.e.
+    * the grams share no character).
+    *
+    * Scale notes: cross-doc document frequency comes from ONE partial-
+    * aggregating pass over the distinct shingle table; the positional table
+    * joins it on `hb` (AQE skew-splittable on boilerplate-hot hashes) and is
+    * immediately cut to duplicated positions — the windows then run
+    * per-doc over the DUP-DENSITY-scoped survivors, each partition bounded
+    * by ≤ MaxShingleChars positions per doc. Everything is exact integer
+    * arithmetic. */
+  def dupSpanRemoval(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = shingleHashes(docs).groupBy(col("hb")).agg(count(lit(1)).as("df_docs"))
+    val dupPos = positionalShingleHashes(docs)
+      .join(df.filter(col("df_docs") >= 2).select(col("hb")), "hb")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("new_island",
+        (col("prev").isNull || col("pos") - col("prev") >= ShingleLen).cast("long"))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit((ShingleLen - 1).toLong)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("island"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"), col("n_grams"))
+  }
+
+  /** q135: deterministic k-minimum-values distinct-cardinality estimate per
+    * language — the oracle-checkable stand-in for HyperLogLog
+    * (`approx_count_distinct` sketches are engine-private, so their results
+    * can never be bit-compared): over the 60-bit shingle-hash space, the
+    * k-th smallest DISTINCT hash h₍ₖ₎ estimates the cardinality as
+    * (k−1)·2⁶⁰ / h₍ₖ₎ (Bar-Yossef et al. 2002). Dense_rank ≤ k is pushed
+    * into WindowGroupLimit (map-side per-language top-k heaps — the
+    * corpus-sized input reduces to ≤ k·partitions rows BEFORE the
+    * exchange), so the estimate path never shuffles the hash table. The
+    * exact column (the comparison baseline, = what the estimate avoids)
+    * costs the classic two partial-aggregating exchanges; production
+    * profiling at 100 TB would keep only the KMV column. */
+  def kmvDistinct(docs: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lsh = docs
+      .filter(length(col("text")) >= ShingleLen)
+      .select(col("lang"), explode(array_distinct(expr(
+        s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
+          s"i -> CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT))")))
+        .as("hb"))
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("hb").asc)
+    val kept = lsh.withColumn("rnk", dense_rank().over(byLang)).filter(col("rnk") <= k)
+    val est = kept.groupBy(col("lang"))
+      .agg(max(col("hb")).as("kth"), countDistinct(col("hb")).as("n_kept"))
+    val exact = lsh.select(col("lang"), col("hb")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "lang")
+      .select(col("lang"), col("n_exact"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+            / col("kth").cast("double")).as("kmv_estimate"))
+  }
 }

@@ -142,6 +142,58 @@ class TextOpsSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("dupSpanRemoval: a shared substring yields one merged interval at the exact offsets") {
+    import spark.implicits._
+    val shared = "DUPLICATEDSEGMENTXYZ" // 20 chars -> grams at p..p+12, span [p, p+19]
+    // boundary chars DIFFER between docs (.", vs :;) so no gram straddling
+    // the segment edge is itself a cross-doc duplicate
+    val d = Seq(
+      (1L, "abcdefghij." + shared + ",unique tail one here"),  // shared starts at 12
+      (2L, "kl:" + shared + ";other continuation words"))      // shared starts at 4
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = TextOps.dupSpanRemoval(d)
+      .select("doc_id", "span_start", "span_end", "span_len", "n_grams")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 2, s"one interval per doc: ${got.mkString(";")}")
+    assert(got(0) == ((1L, 12L, 31L, 20L, 13L)))
+    assert(got(1) == ((2L, 4L, 23L, 20L, 13L)))
+  }
+
+  test("dupSpanRemoval: separated shared segments stay separate islands; within-doc repeats don't count") {
+    import spark.implicits._
+    val s1 = "FIRSTSHAREDBLOCK"; val s2 = "SECONDSHAREDBLOCK"
+    val d = Seq(
+      (1L, s1 + " 123456789 " + s2),        // two shared blocks, >=8 unique chars apart
+      (2L, s2 + " abcdefghi " + s1),
+      (3L, "selfrepeat words selfrepeat words only in this doc nowhere else"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = TextOps.dupSpanRemoval(d).cache()
+    assert(got.filter(col("doc_id") === 3L).count() == 0,
+      "within-one-doc repeats are df=1 -> never removed")
+    assert(got.filter(col("doc_id") === 1L).count() == 2, "two distinct islands")
+    assert(got.filter(col("doc_id") === 2L).count() == 2)
+    got.unpersist()
+  }
+
+  test("kmvDistinct: exact when under k; within KMV error bounds over k") {
+    import spark.implicits._
+    // lang "xx": one short doc -> n_distinct < 64 -> estimate IS the exact count
+    // lang "en": a long doc -> hundreds of distinct grams -> the (k-1)*S/h_k path
+    val longText = (1 to 120).map(i => s"w$i").mkString(" ") // > 505 chars
+    val d = Seq((1L, "tiny document", "xx"), (2L, longText, "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.kmvDistinct(d)
+      .select("lang", "n_exact", "n_kept", "kmv_estimate")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val xx = got("xx")
+    assert(xx._2 < 64 && xx._3 == xx._2 && xx._4 == xx._2.toDouble,
+      s"under-k languages report exactly: $xx")
+    val en = got("en")
+    assert(en._2 > 64 && en._3 == 64L, s"over-k keeps exactly k distinct minima: $en")
+    assert(en._4 > 0.4 * en._2 && en._4 < 2.5 * en._2,
+      s"KMV estimate within coarse bounds of exact: $en")
+  }
+
   test("dupSpanProfile: exact clones are 100% duplicated spans; counts bounded") {
     import org.apache.spark.sql.functions._
     val out = TextOps.dupSpanProfile(corpus).cache()

@@ -309,6 +309,33 @@ class PlanSpec extends SparkTestBase {
       "row_number<=k cut lost the group-limit pushdown:\n" + plan.take(3000))
   }
 
+  test("length quantiles: histogram exchange reused for totals; window sorts only the histogram") {
+    val plan = physical(graft.ops.Lexicon.lengthQuantiles(Synth.corpus(spark, sf0001)))
+    // the corpus collapses through ONE (lang, n_tokens) partial-agg exchange;
+    // the totals side must reuse it, not rescan the corpus
+    assert(plan.contains("ReusedExchange"),
+      "totals side rescans the corpus instead of reusing the histogram:\n" + plan.take(3000))
+    assert(plan.contains("partial_count"), "histogram lost map-side combine")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "quantile cut regressed to a global sort:\n" + plan.take(2000))
+  }
+
+  test("dup-span removal: df agg partial; islands windows sit above the dup-scoped join") {
+    val plan = physical(graft.ops.TextOps.dupSpanRemoval(Synth.corpus(spark, sf0001)))
+    assert(plan.contains("partial_count"), "df agg lost map-side combine")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    // the gaps-and-islands windows are per-doc: never a single-partition sort
+    assert(!plan.contains("Exchange SinglePartition"),
+      "island windows collapsed to one partition:\n" + plan.take(3000))
+  }
+
+  test("KMV distinct: dense_rank<=k pushes into WindowGroupLimit (estimate path never shuffles the hash table)") {
+    val plan = physical(graft.ops.TextOps.kmvDistinct(Synth.corpus(spark, sf0001)))
+    assert(plan.contains("WindowGroupLimit"),
+      "dense_rank<=k cut lost the group-limit pushdown:\n" + plan.take(3000))
+  }
+
   test("compaction plan: single-partition window only AFTER the manifest-scale agg") {
     val plan = physical(Maintenance.hucCompactionPlan(spark, sf0001))
     // the one SinglePartition exchange sits above the per-huc8 aggregate
