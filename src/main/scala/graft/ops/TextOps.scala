@@ -470,6 +470,26 @@ object TextOps {
     * ([[ngramJaccardFrom]]'s rationale): an eval benchmark is a fixed,
     * human-curated artifact orders of magnitude below executor memory, not
     * a data-dependent set that a re-crawl storm can inflate. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      fracMin: Double = 0.2): DataFrame = {
+    val evalHb = shingleHashes(evalDocs).select(col("hb")).distinct()
+      .withColumn("hit", lit(1))
+    // ONE corpus pass: left-broadcast-join the eval set (distinct (doc_id,hb)
+    // ⋈ distinct hb is 1:≤1 — no row multiplication), then a single partial-
+    // aggregating groupBy carries BOTH counts. The two-pass form (separate
+    // sizes agg + overlap agg) scans and exchanges the corpus-sized shingle
+    // table twice for the same row set.
+    val sh = shingleHashes(docs)
+    sh.join(broadcast(evalHb), Seq("hb"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles").cast("double")).as("overlap_frac"),
+        (col("n_overlap").cast("double") / col("n_shingles").cast("double") >= fracMin)
+          .cast("int").as("contaminated"))
+  }
+
   /** q133: FUZZY benchmark decontamination — where [[decontaminate]] flags
     * verbatim n-gram overlap, this catches paraphrased/truncated leaks the
     * way production eval-protection passes do (MinHash-LSH candidates, then
@@ -489,26 +509,6 @@ object TextOps {
       sh.filter(!isEval), bands.filter(!isEval), jaccardMin)
       .withColumnRenamed("match_doc", "eval_doc")
       .withColumnRenamed("is_dup", "leaked")
-  }
-
-  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
-      fracMin: Double = 0.2): DataFrame = {
-    val evalHb = shingleHashes(evalDocs).select(col("hb")).distinct()
-      .withColumn("hit", lit(1))
-    // ONE corpus pass: left-broadcast-join the eval set (distinct (doc_id,hb)
-    // ⋈ distinct hb is 1:≤1 — no row multiplication), then a single partial-
-    // aggregating groupBy carries BOTH counts. The two-pass form (separate
-    // sizes agg + overlap agg) scans and exchanges the corpus-sized shingle
-    // table twice for the same row set.
-    val sh = shingleHashes(docs)
-    sh.join(broadcast(evalHb), Seq("hb"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
-      .filter(col("n_overlap") > 0)
-      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-        (col("n_overlap").cast("double") / col("n_shingles").cast("double")).as("overlap_frac"),
-        (col("n_overlap").cast("double") / col("n_shingles").cast("double") >= fracMin)
-          .cast("int").as("contaminated"))
   }
 
   /** Corpus-level shingle heavy hitters (q120): the `k` most document-
