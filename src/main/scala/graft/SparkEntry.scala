@@ -1231,13 +1231,17 @@ object SparkEntry {
         |        CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INT) AS st
         |      FROM corpus)""".stripMargin),
 
-    "q20_fingerprint" -> withCtes(corpus, sh)(
+    "q20_fingerprint" -> withCtes(corpus, sh,
+      """dsh AS (SELECT DISTINCT doc_id,
+        |  CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS hb FROM sh)""".stripMargin)(
       """SELECT doc_id,
-        |  min(CASE WHEN rn = 1 THEN h END) || min(CASE WHEN rn = 2 THEN h END)
-        |    || min(CASE WHEN rn = 3 THEN h END) || min(CASE WHEN rn = 4 THEN h END) AS fp,
+        |  CAST(min(CASE WHEN rn = 1 THEN hb END) AS VARCHAR) || '-'
+        |    || CAST(min(CASE WHEN rn = 2 THEN hb END) AS VARCHAR) || '-'
+        |    || CAST(min(CASE WHEN rn = 3 THEN hb END) AS VARCHAR) || '-'
+        |    || CAST(min(CASE WHEN rn = 4 THEN hb END) AS VARCHAR) AS fp,
         |  count(*) AS k
-        |FROM (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
-        |      FROM (SELECT DISTINCT doc_id, md5(sh) AS h FROM sh))
+        |FROM (SELECT doc_id, hb, row_number() OVER (PARTITION BY doc_id ORDER BY hb) AS rn
+        |      FROM dsh)
         |WHERE rn <= 4 GROUP BY doc_id""".stripMargin),
 
     "q21_ann_brute" -> withCtes(qt, nrm,

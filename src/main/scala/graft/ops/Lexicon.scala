@@ -109,9 +109,18 @@ object Lexicon {
     val hist = lens.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
-    cum.join(tot, "lang")
+    // per-lang total as a FULL-FRAME window over the same histogram — not a
+    // separate aggregate joined back: that shape relied on exchange reuse to
+    // avoid a second corpus scan, and reuse is opportunistic (it silently
+    // degraded to a rescan when the canonical exchange forms drifted, e.g.
+    // under a cached input). Both windows share the (lang) partitioning, so
+    // the histogram is exchanged once and never re-derived by construction.
+    val wAll = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_docs", sum(col("cnt")).over(wAll))
+    cum
       .groupBy(col("lang"))
       .agg(max(col("n_docs")).as("n_docs"),
         min(when(col("cum") * 2 >= col("n_docs"), col("n_tokens"))).as("p50"),

@@ -424,36 +424,40 @@ object TextOps {
           .cast("int").as("keep_rep"))
   }
 
-  /** Document fingerprint: concatenation of the 4 smallest shingle md5s
-    * (winnowing-style k-min sketch).
+  /** Document fingerprint: the 4 smallest distinct 60-bit shingle hashes
+    * (winnowing-style k-min sketch), joined `m1-m2-m3-m4` as `fp`.
     *
-    * Shape note: a per-doc `row_number` window would sort every (doc_id, h)
-    * partition globally — at the ×64 corpus (~170 M shingle rows) that sort
-    * spills and the op went sub-linear (r4 dps ratio 0.42). This shape is a
-    * single ObjectHashAggregate with map-side partial merge: `collect_set`
-    * dedups per doc (subsuming the old upstream `distinct()` exchange), the
-    * sort is per-group over ≤ [[MaxShingleChars]] elements, and no global
-    * sort ever happens.
+    * Shape history — this op is the engine's canary for aggregate scale:
+    * r4's per-doc `row_number` window sorted every (doc_id, h) partition
+    * globally and went sub-linear at the ×64 corpus (dps ratio 0.42); the
+    * r5 `slice(array_sort(collect_set(md5str)), 1, 4)` rewrite removed the
+    * window but kept a TypedImperativeAggregate whose partial state is the
+    * whole per-doc md5 set — the exchange stayed corpus-sized and
+    * ObjectHashAggregateExec's sort-based fallback (default threshold: 128
+    * groups, i.e. always at corpus scale) still sorted every map partition
+    * by doc_id; the ratio wobbled 0.63–0.76 across fresh-JVM probes, never
+    * safely past the 0.7 linearity bar.
     *
-    * Payload note: the set elements stay 32-char md5 STRINGS deliberately.
-    * Set union cannot collapse map-side, so the exchange payload is the
-    * whole distinct-shingle table and its per-element weight is THE scale
-    * lever — but re-encoding the 128 bits as a struct of three longs
-    * (sort-order-preserving bijection) measured 2× SLOWER at ×256 (279 s vs
-    * 138 s): object-hash aggregation buffers hold JVM objects, and a
-    * 3-field row (header + boxed array) outweighs a compact 32-byte ASCII
-    * string. The working lever is reduce-side parallelism sized to the DATA
-    * (AQE initialPartitionNum scaled with corpus, see Bench) — strings at
-    * data-sized partitions hold dps ratio ~0.7 at ×256 vs 0.42 for the r4
-    * window shape. `fp` is NULL when a doc has < 4 distinct shingles —
-    * same as the oracle's `h1 || h2 || h3 || h4` with a missing rank. */
+    * Now: [[graft.functions.MinK4]], a DeclarativeAggregate with a CONSTANT
+    * 4-slot long buffer — all-fixed-width state keeps the aggregation in
+    * HashAggregateExec's UnsafeRow fast path (whole-stage codegen, true
+    * map-side combine), and the exchange carries 4 longs per doc instead of
+    * the distinct-shingle table. Feeding it [[shingleHashes]] (per-doc
+    * array_distinct inside the generator) means a doc's shingles never leave
+    * their map partition: the partial buffer IS the final top-4.
+    *
+    * `fp` is NULL when a doc has < 4 distinct shingles — same as the
+    * oracle's `m1 || '-' || …` with a missing (NULL) rank. The fingerprint
+    * value space moved from concatenated md5 hex to the same 60-bit
+    * md5-prefix integers every other dedup op keys on ([[baseHash60]]) —
+    * one hash family across the whole file. */
   def fingerprint(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .select(col("doc_id"), md5(col("sh")).as("h"))
+    shingleHashes(docs)
       .groupBy(col("doc_id"))
-      .agg(slice(array_sort(collect_set(col("h"))), 1, 4).as("tops"))
+      .agg(graft.functions.MinK4.minK4(col("hb")).as("tops"))
       .select(col("doc_id"),
-        when(size(col("tops")) >= 4, concat_ws("", col("tops"))).as("fp"),
+        when(size(col("tops")) >= 4,
+          array_join(col("tops").cast("array<string>"), "-")).as("fp"),
         size(col("tops")).cast("bigint").as("k"))
 
   /** Benchmark decontamination (q119) — the eval-set-leak check every

@@ -80,11 +80,25 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
-  test("fingerprint is 4 concatenated md5s and stable across partitionings") {
+  test("fingerprint is the 4 smallest distinct hashes and stable across partitionings") {
+    import org.apache.spark.sql.functions._
     val a = TextOps.fingerprint(corpus)
     val b = TextOps.fingerprint(corpus.repartition(13))
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
-    a.collect().foreach(r => if (r.getLong(2) == 4) assert(r.getString(1).length == 128))
+    a.collect().foreach { r =>
+      if (r.getLong(2) == 4) assert(r.getString(1).matches("\\d+(-\\d+){3}"))
+      else assert(r.isNullAt(1))
+    }
+    // MinK4 ≡ the unbounded reference shape (sort the whole distinct set,
+    // take 4) — the bounded-buffer insert/merge must lose nothing
+    val ref = TextOps.shingleHashes(corpus)
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_set(col("hb"))), 1, 4).as("tops"))
+      .select(col("doc_id"),
+        when(size(col("tops")) >= 4,
+          array_join(col("tops").cast("array<string>"), "-")).as("fp"),
+        size(col("tops")).cast("bigint").as("k"))
+    assert(a.except(ref).isEmpty && ref.except(a).isEmpty)
   }
 
   test("incremental dedup: every exact clone is flagged dup against its own original") {

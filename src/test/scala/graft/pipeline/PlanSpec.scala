@@ -115,13 +115,18 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
-  test("fingerprint: one partial-aggregating pass, NO window, no global sort") {
+  test("fingerprint: HashAggregate fast path, NO window, no object agg, no global sort") {
     val plan = physical(graft.ops.TextOps.fingerprint(Synth.corpus(spark, sf0001)))
-    // the r4 window shape sorted every (doc_id, h) partition globally and went
-    // sub-linear at the ×64 corpus; the collect_set shape must never regress
+    // the r4 window shape sorted every (doc_id, h) partition globally; the r5
+    // collect_set shape kept a corpus-sized exchange + ObjectHashAggregate's
+    // sort-based fallback (threshold 128 groups — always, at corpus scale).
+    // MinK4's fixed-width 4-long buffer must stay in HashAggregateExec with
+    // map-side combine: exchange payload = 4 longs per doc.
     assert(!plan.contains("Window"), "fingerprint regressed to a window:\n" + plan.take(3000))
     assert(!plan.contains("SortAggregate"), plan.take(3000))
-    assert(plan.contains("partial_collect_set"), "k-min lost map-side combine:\n" + plan.take(3000))
+    assert(!plan.contains("ObjectHashAggregate"),
+      "k-min regressed to object aggregation (corpus-sized partial state):\n" + plan.take(3000))
+    assert(plan.contains("partial_min_k4"), "k-min lost map-side combine:\n" + plan.take(3000))
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(3000))
   }
 
@@ -309,13 +314,18 @@ class PlanSpec extends SparkTestBase {
       "row_number<=k cut lost the group-limit pushdown:\n" + plan.take(3000))
   }
 
-  test("length quantiles: histogram exchange reused for totals; window sorts only the histogram") {
+  test("length quantiles: one histogram derivation; window sorts only the histogram") {
     val plan = physical(graft.ops.Lexicon.lengthQuantiles(Synth.corpus(spark, sf0001)))
     // the corpus collapses through ONE (lang, n_tokens) partial-agg exchange;
-    // the totals side must reuse it, not rescan the corpus
-    assert(plan.contains("ReusedExchange"),
-      "totals side rescans the corpus instead of reusing the histogram:\n" + plan.take(3000))
+    // the per-lang total is a full-frame window over the SAME histogram (a
+    // joined-back aggregate would rescan the corpus whenever exchange reuse
+    // failed to kick in — reuse is opportunistic, the single-derivation
+    // shape is structural)
+    assert(!plan.contains("Join"),
+      "totals regressed to a joined-back aggregate:\n" + plan.take(3000))
     assert(plan.contains("partial_count"), "histogram lost map-side combine")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      "histogram derived more than once:\n" + plan.take(3000))
     assert(!plan.contains("Exchange rangepartitioning"),
       "quantile cut regressed to a global sort:\n" + plan.take(2000))
   }
