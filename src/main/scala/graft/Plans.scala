@@ -77,7 +77,19 @@ object Plans {
       "Fuzzy decontamination (eval-vs-corpus band join, pairs-scoped verify)" ->
         ops.TextOps.fuzzyDecontaminate(Synth.corpus(spark, sf),
           org.apache.spark.sql.functions.col("doc_id") < 1000000L &&
-            org.apache.spark.sql.functions.col("doc_id") % 37 === 0)
+            org.apache.spark.sql.functions.col("doc_id") % 37 === 0),
+      "k-min fingerprint (MinK4 declarative agg — 4-long buffer, HashAggregate)" ->
+        ops.TextOps.fingerprint(Synth.corpus(spark, sf)),
+      "Bloom membership probe (broadcast ≤1024-row filter; batch never shuffles)" -> {
+        val c = Synth.corpus(spark, sf)
+        ops.BloomIndex.probe(
+          c.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+          c.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
+      },
+      "Epoch shuffle (global order via key-prefix buckets + offset broadcast)" ->
+        ops.Packing.epochOrder(Synth.corpus(spark, sf)),
+      "Bigram LM scoring (distinct-bigram prob table, per-doc agg)" ->
+        ops.QualityModels.bigramLmScore(Synth.corpus(spark, sf))
     )
     val md = new StringBuilder("# PLANS — executed physical plans (AQE final)\n\n")
     md.append("Generated by `sbt \"runMain graft.Plans\"` at sf0.001; the plan\n")

@@ -896,6 +896,32 @@ object SparkEntry {
     "q135_kmv_distinct" -> ((s, dir) =>
       TextOps.kmvDistinct(Synth.corpus(s, dir))),
 
+    // sharded Bloom-filter membership pre-filter: base (even ids) builds
+    // 64 × 1008-bit filters in one agg; the odd-id batch probes via a
+    // broadcast of the (≤ 1024-row) filter table — deterministic false
+    // positives audited against the exact column
+    "q136_bloom_probe" -> ((s, dir) => {
+      val c = Synth.corpus(s, dir)
+      BloomIndex.probe(c.filter(col("doc_id") % 2 === 0),
+        c.filter(col("doc_id") % 2 === 1))
+    }),
+
+    // bigram-LM fluency scoring (CCNet perplexity-filter shape) in exact
+    // rational arithmetic: mean conditional bigram probability in ppm
+    "q137_bigram_lm" -> ((s, dir) =>
+      QualityModels.bigramLmScore(Synth.corpus(s, dir))),
+
+    // hashed-feature linear quality classifier: map-only scoring with
+    // frozen hash-derived integer weights + one per-doc aggregate
+    "q138_quality_classifier" -> ((s, dir) =>
+      QualityModels.qualityClassifier(Synth.corpus(s, dir))),
+
+    // deterministic epoch shuffle: global training position via key-prefix
+    // range buckets + per-bucket ranks + a 1024-row offset broadcast (never
+    // a one-partition global sort)
+    "q139_epoch_order" -> ((s, dir) =>
+      Packing.epochOrder(Synth.corpus(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1745,6 +1771,87 @@ object SparkEntry {
         |       ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
         |            / CAST(s.kth AS DOUBLE) END AS kmv_estimate
         |FROM kst s JOIN kex e ON s.lang = e.lang""".stripMargin),
+
+    // sharded Bloom filter: build from even-id content hashes, probe odd ids;
+    // double-hashed positions (h1 + k·h2 mod 1008), 63 usable bits per word
+    "q136_bloom_probe" -> withCtes(corpus,
+      """bky AS (
+        |  SELECT doc_id, hb, CAST((hb // 1048576) % 64 AS INT) AS shard,
+        |    hb % 1008 AS h1, 1 + (hb % 1007) AS h2
+        |  FROM (SELECT doc_id,
+        |          CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS hb
+        |        FROM corpus)
+        |)""".stripMargin,
+      """bfl AS (
+        |  SELECT shard, CAST(p // 63 AS INT) AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+        |  FROM (SELECT b.shard, (b.h1 + g.k * b.h2) % 1008 AS p
+        |        FROM (SELECT DISTINCT hb, shard, h1, h2 FROM bky
+        |              WHERE doc_id % 2 = 0) b
+        |        CROSS JOIN generate_series(0, 2) g(k))
+        |  GROUP BY shard, CAST(p // 63 AS INT)
+        |)""".stripMargin,
+      """bht AS (
+        |  SELECT p.doc_id, p.hb,
+        |    min(CAST((coalesce(f.bits, CAST(0 AS BIGINT)) >> CAST(p.p % 63 AS INT)) % 2 AS INT)) AS maybe_present
+        |  FROM (SELECT doc_id, hb, shard, (h1 + g.k * h2) % 1008 AS p
+        |        FROM bky CROSS JOIN generate_series(0, 2) g(k)
+        |        WHERE doc_id % 2 = 1) p
+        |  LEFT JOIN bfl f ON f.shard = p.shard AND f.word = CAST(p.p // 63 AS INT)
+        |  GROUP BY p.doc_id, p.hb
+        |)""".stripMargin)(
+      """SELECT h.doc_id, h.maybe_present,
+        |  CAST(CASE WHEN e.hb IS NOT NULL THEN 1 ELSE 0 END AS INT) AS present_exact
+        |FROM bht h LEFT JOIN (SELECT DISTINCT hb FROM bky WHERE doc_id % 2 = 0) e
+        |  ON h.hb = e.hb""".stripMargin),
+
+    // bigram LM: conditional probability in ppm from the distinct-bigram
+    // table (prefix mass = sum of c12 per w1 — one corpus count pass)
+    "q137_bigram_lm" -> withCtes(corpus, wrd,
+      """bgr AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM wrd a JOIN wrd b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |)""".stripMargin,
+      "c12q AS (SELECT w1, w2, count(*) AS c12 FROM bgr GROUP BY w1, w2)",
+      "c1q AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12q GROUP BY w1)",
+      """scq AS (SELECT c.w1, c.w2,
+        |  CAST((c.c12 * 1000000) // p.c1 AS BIGINT) AS cond_ppm
+        |FROM c12q c JOIN c1q p ON c.w1 = p.w1)""".stripMargin)(
+      """SELECT g.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(s.cond_ppm) AS BIGINT) AS ppm_sum,
+        |  CAST(sum(s.cond_ppm) // count(*) AS BIGINT) AS mean_ppm,
+        |  CASE WHEN sum(s.cond_ppm) // count(*) >= 500000 THEN 'fluent'
+        |       WHEN sum(s.cond_ppm) // count(*) >= 100000 THEN 'typical'
+        |       ELSE 'surprising' END AS bucket
+        |FROM bgr g JOIN scq s ON g.w1 = s.w1 AND g.w2 = s.w2
+        |GROUP BY g.doc_id""".stripMargin),
+
+    // hashed linear classifier: md5-bucket features, hash-derived integer
+    // weights in [-1001, 1001], shifted non-negative per-word mean
+    "q138_quality_classifier" -> withCtes(corpus, wrd,
+      """wgt AS (
+        |  SELECT doc_id,
+        |    ((CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 4096)
+        |      * 2654435761) % 2003 - 1001 AS weight
+        |  FROM wrd
+        |)""".stripMargin)(
+      """SELECT doc_id, count(*) AS n_words, CAST(sum(weight) AS BIGINT) AS w_sum,
+        |  CAST(((sum(weight) + 1001 * count(*)) * 1000) // count(*) AS BIGINT) AS avg_shift_ppk,
+        |  CAST(CASE WHEN ((sum(weight) + 1001 * count(*)) * 1000) // count(*)
+        |              >= 1001000 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM wgt GROUP BY doc_id""".stripMargin),
+
+    // epoch shuffle: the oracle is the straight global row_number over the
+    // hash key — the engine's bucketed prefix-sum form must agree exactly
+    "q139_epoch_order" -> withCtes(corpus,
+      """eky AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS okey
+        |  FROM corpus
+        |)""".stripMargin)(
+      """SELECT doc_id, okey, CAST(okey // 1125899906842624 AS INT) AS bucket,
+        |  CAST(row_number() OVER (ORDER BY okey, doc_id) - 1 AS BIGINT) AS global_pos
+        |FROM eky""".stripMargin),
 
     "q93_dup_clusters" -> withCtes(corpus,
       """cl93 AS (

@@ -44,6 +44,41 @@ object Packing {
           expr(s"tok_start div $budgetTokens") + 1L).as("n_seqs"))
   }
 
+  /** q139: deterministic global training order (the reproducible "epoch
+    * shuffle" a pretraining run assigns before writing token shards) —
+    * every doc gets a pseudo-random sort key (portable md5-prefix hash of
+    * epoch:doc_id, so re-running any subset of partitions reassigns the SAME
+    * positions) and a dense global position 0..n-1 in key order.
+    *
+    * The scale point is HOW the global position is computed: a single
+    * `row_number() over (order by key)` is a one-partition sort of the
+    * corpus — the canonical driver-shaped bottleneck. Instead the key's top
+    * 10 bits range-partition the corpus into 1024 buckets whose order agrees
+    * with full key order by construction (the bucket IS the key prefix);
+    * positions are then per-bucket ranks plus exclusive bucket offsets from
+    * a 1024-row count table (the only unpartitioned window, provably
+    * bounded). One exchange for the per-bucket windows, one tiny broadcast
+    * back — the same two-level prefix-sum shape as the seq-pack shard
+    * ledger, but with a GLOBAL total order. */
+  def epochOrder(docs: DataFrame, epoch: Int = 0): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      conv(substring(md5(concat(lit(s"ep$epoch:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("okey"))
+      .withColumn("bucket", expr("okey div 1125899906842624").cast("int")) // 2^50
+    val byBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("okey"), col("doc_id"))
+    val ranked = keyed.withColumn("rnk", row_number().over(byBucket))
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("off"))
+    ranked.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("okey"), col("bucket"),
+        (col("off") + col("rnk") - 1L).as("global_pos"))
+  }
+
   /** q125: temperature-sampled mix plan per language — document/token mass,
     * an α = 1/2 sampling weight computed as the EXACT integer sqrt of the
     * doc count (floor(sqrt) then a ±1 correction ladder, so a libm rounding

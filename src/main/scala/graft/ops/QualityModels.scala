@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based document scoring in exact arithmetic: a corpus-trained bigram
+  * language model (the CCNet-style "perplexity filter", here as an
+  * exact-rational conditional-probability score — libm `log`/`pow` are not
+  * bit-portable across engines, and an order-preserving rational proxy is)
+  * and a hashed-feature linear classifier (the fastText/logistic-regression
+  * quality gate of GPT-3/CCNet-style curation, with deterministic weights so
+  * the whole scorer is an auditable pure function).
+  *
+  * Scale notes (both ops): the word/bigram derivation is a pure per-row
+  * `transform` over the first [[WebCuration.MaxWords]] words (zero exchanges
+  * before the first aggregate — the paragraph-dedup discipline). LM counts
+  * are partial-aggregating hash aggregates; the conditional probability is
+  * computed on the DISTINCT-bigram table (vocabulary²-bounded, sparse), so
+  * the prefix-count join touches one row per distinct bigram — stop-word
+  * skew costs a hot key in a combine-collapsed agg, never a replicated
+  * occurrence list. The doc-side score join keys on (w1, w2) against that
+  * scored table; AQE splits any residual hot bigram. The classifier never
+  * joins at all: weights are a pure hash of the feature bucket, so scoring
+  * is map-only + one per-doc aggregate.
+  */
+object QualityModels {
+
+  /** (doc_id, w1, w2): adjacent word pairs, derived per-row (no posexplode
+    * + self-join — that shape shuffles corpus×words rows). */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr(s"slice(split(text, ' '), 1, ${WebCuration.MaxWords})").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** q137: bigram-LM fluency scoring — per doc, the mean conditional
+    * probability of its bigrams under the corpus LM, in parts-per-million
+    * (`ppm = 10^6 · count(w1,w2) / count(w1·)`, exact BIGINT division; the
+    * prefix count derives from the bigram table itself, so there is exactly
+    * one corpus-wide count pass). Buckets: fluent ≥ 0.5 mean, typical ≥ 0.1,
+    * else surprising — the perplexity-tercile gate of CCNet, with fixed
+    * thresholds so the verdict is a pure per-row function. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val bg = bigrams(docs)
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // prefix mass from the distinct-bigram table: sum(c12) per w1 ≡ the
+    // bigram-position count of w1 — no second corpus scan
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val scored = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"), expr("(c12 * 1000000) div c1").as("cond_ppm"))
+    bg.join(scored, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_ppm")).as("ppm_sum"))
+      .withColumn("mean_ppm", expr("ppm_sum div n_bigrams"))
+      .withColumn("bucket",
+        when(col("mean_ppm") >= 500000L, lit("fluent"))
+          .when(col("mean_ppm") >= 100000L, lit("typical"))
+          .otherwise(lit("surprising")))
+      .select(col("doc_id"), col("n_bigrams"), col("ppm_sum"),
+        col("mean_ppm"), col("bucket"))
+  }
+
+  /** Feature buckets for the hashed classifier. */
+  val FeatureDim = 4096
+
+  /** q138: hashed linear quality classifier — each word hashes (portable
+    * md5-prefix hash) to one of [[FeatureDim]] buckets; the bucket's integer
+    * weight in [-1001, 1001] is itself a hash of the bucket id (a frozen,
+    * auditable stand-in for trained weights — the SERVING path of a
+    * fastText-style gate, which at 10^12 docs is the cost that matters; the
+    * weights table could equally be a broadcast join, but a closed form
+    * keeps scoring map-only). Score = Σ weights; the keep verdict thresholds
+    * the SHIFTED per-word mean (score + 1001·n, guaranteed non-negative, so
+    * integer division semantics agree across engines). */
+  def qualityClassifier(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr(s"slice(split(text, ' '), 1, ${WebCuration.MaxWords})").as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .withColumn("bucket",
+        expr(s"CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % $FeatureDim"))
+      .withColumn("weight", expr("(bucket * 2654435761) % 2003 - 1001"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("weight")).as("w_sum"))
+      .withColumn("avg_shift_ppk",
+        expr("((w_sum + 1001 * n_words) * 1000) div n_words"))
+      .withColumn("keep",
+        when(col("avg_shift_ppk") >= 1001000L, lit(1)).otherwise(lit(0)))
+      .select(col("doc_id"), col("n_words"), col("w_sum"),
+        col("avg_shift_ppk"), col("keep"))
+}

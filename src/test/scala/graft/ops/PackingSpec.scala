@@ -44,6 +44,28 @@ class PackingSpec extends SparkTestBase {
     assert(got("fr") == ("fr", 1L, 1L, 16L))
   }
 
+  test("epochOrder: bucketed prefix-sum positions ≡ the global sort order") {
+    val d = docs((0L until 500L).map(i => (i, s"doc $i")): _*)
+    val got = Packing.epochOrder(d, epoch = 0)
+      .select("doc_id", "okey", "global_pos")
+      .as[(Long, Long, Long)].collect()
+    // positions are a dense permutation of 0..n-1
+    assert(got.map(_._3).sorted.toSeq == (0L until 500L).toSeq)
+    // and agree with the straight global sort by (okey, doc_id)
+    val expect = got.sortBy(r => (r._2, r._1)).map(_._1).toSeq
+    val byPos = got.sortBy(_._3).map(_._1).toSeq
+    assert(byPos == expect)
+  }
+
+  test("epochOrder: different epochs permute differently, same epoch is stable") {
+    val d = docs((0L until 100L).map(i => (i, s"doc $i")): _*)
+    def posMap(e: Int) = Packing.epochOrder(d, e)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    val e0 = posMap(0)
+    assert(posMap(0) == e0, "same epoch must reproduce identical positions")
+    assert(posMap(1) != e0, "epoch must reshuffle")
+  }
+
   test("mixWeights: correction ladder pins isqrt at perfect-square boundaries") {
     // n = k² and k²-1 around a large square exercise both CASE arms; the
     // ladder is replicated here column-for-column from mixWeights
