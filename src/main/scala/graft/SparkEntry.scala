@@ -922,6 +922,22 @@ object SparkEntry {
     "q139_epoch_order" -> ((s, dir) =>
       Packing.epochOrder(Synth.corpus(s, dir))),
 
+    // fixed-point PageRank (3 rounds, ppb integer ranks): iterated
+    // edges ⋈ ranks + one partial-aggregating exchange per round — the
+    // BSP link-analysis workload as pure relational algebra
+    "q140_pagerank" -> ((s, dir) =>
+      LinkGraph.pageRank(Synth.corpus(s, dir))),
+
+    // crawl-frontier politeness schedule: per-host FIFO dealt into fetch
+    // ticks at 2 requests/host/tick
+    "q141_frontier" -> ((s, dir) =>
+      WebCuration.frontierSchedule(Synth.pages(s, dir))),
+
+    // canonical pick: inside each dup component keep the HIGHEST-QUALITY
+    // member (classifier score, min-id tiebreak) — dedup ∘ quality composed
+    "q142_canonical_pick" -> ((s, dir) =>
+      DedupGraph.canonicalPick(Synth.corpus(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1852,6 +1868,118 @@ object SparkEntry {
       """SELECT doc_id, okey, CAST(okey // 1125899906842624 AS INT) AS bucket,
         |  CAST(row_number() OVER (ORDER BY okey, doc_id) - 1 AS BIGINT) AS global_pos
         |FROM eky""".stripMargin),
+
+    // fixed-point PageRank, 3 unrolled rounds: hash-derived 3-out-link graph
+    // over the contiguous base-doc id space; damping 85/100, teleport
+    // 150000000 div n, every step floor-divided BIGINT ppb
+    "q140_pagerank" -> withCtes(corpus,
+      "nds AS (SELECT doc_id FROM corpus WHERE doc_id < 1000000)",
+      "ntot AS (SELECT count(*) AS n FROM nds)",
+      """edg AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * doc_id + g.k * 7919 + 13) % t.n AS dst
+        |    FROM nds CROSS JOIN ntot t CROSS JOIN generate_series(0, 2) g(k))
+        |  WHERE dst <> src
+        |)""".stripMargin,
+      "odg AS (SELECT src, count(*) AS outdeg FROM edg GROUP BY src)",
+      "idg AS (SELECT dst, count(*) AS n_in FROM edg GROUP BY dst)",
+      "pr0 AS (SELECT doc_id, 1000000000 // t.n AS r FROM nds CROSS JOIN ntot t)",
+      """pr1 AS (
+        |  SELECT nd.doc_id, (150000000 // t.n) + (85 * coalesce(s.m, 0)) // 100 AS r
+        |  FROM nds nd CROSS JOIN ntot t
+        |  LEFT JOIN (SELECT e.dst AS doc_id, CAST(sum(p.r // o.outdeg) AS BIGINT) AS m
+        |             FROM edg e JOIN odg o ON e.src = o.src
+        |             JOIN pr0 p ON e.src = p.doc_id GROUP BY e.dst) s
+        |    ON nd.doc_id = s.doc_id
+        |)""".stripMargin,
+      """pr2 AS (
+        |  SELECT nd.doc_id, (150000000 // t.n) + (85 * coalesce(s.m, 0)) // 100 AS r
+        |  FROM nds nd CROSS JOIN ntot t
+        |  LEFT JOIN (SELECT e.dst AS doc_id, CAST(sum(p.r // o.outdeg) AS BIGINT) AS m
+        |             FROM edg e JOIN odg o ON e.src = o.src
+        |             JOIN pr1 p ON e.src = p.doc_id GROUP BY e.dst) s
+        |    ON nd.doc_id = s.doc_id
+        |)""".stripMargin,
+      """pr3 AS (
+        |  SELECT nd.doc_id, (150000000 // t.n) + (85 * coalesce(s.m, 0)) // 100 AS r
+        |  FROM nds nd CROSS JOIN ntot t
+        |  LEFT JOIN (SELECT e.dst AS doc_id, CAST(sum(p.r // o.outdeg) AS BIGINT) AS m
+        |             FROM edg e JOIN odg o ON e.src = o.src
+        |             JOIN pr2 p ON e.src = p.doc_id GROUP BY e.dst) s
+        |    ON nd.doc_id = s.doc_id
+        |)""".stripMargin)(
+      """SELECT p.doc_id, CAST(p.r AS BIGINT) AS rank_ppb,
+        |  CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
+        |  CAST(coalesce(o.outdeg, 0) AS BIGINT) AS n_out
+        |FROM pr3 p
+        |LEFT JOIN idg i ON p.doc_id = i.dst
+        |LEFT JOIN odg o ON p.doc_id = o.src""".stripMargin),
+
+    // frontier schedule: per-host FIFO by (warc_ts, url), 2 fetches per tick
+    "q141_frontier" -> withCtes(
+      """pgu AS (
+        |  SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |    1700000000 + CAST(doc_id AS BIGINT) * 37 AS ts
+        |  FROM documents
+        |)""".stripMargin,
+      """fsl AS (
+        |  SELECT url, split_part(url, '/', 3) AS host,
+        |    CAST(row_number() OVER (PARTITION BY split_part(url, '/', 3)
+        |      ORDER BY ts, url) - 1 AS BIGINT) AS slot
+        |  FROM pgu
+        |)""".stripMargin)(
+      "SELECT host, url, slot, CAST(slot // 2 AS BIGINT) AS tick FROM fsl"),
+
+    // canonical pick: q118's component chain ∘ q138's classifier chain;
+    // winner per component = (score desc, doc_id asc) — the engine's
+    // min(struct) ≡ the oracle's row_number = 1
+    "q142_canonical_pick" -> withRecursiveCtes(corpus, sh, mh, bnd, prs,
+      dsh, shSz, shInter, jacCte, wrd,
+      """epr AS (
+        |  SELECT g.doc_a, c.doc_id AS doc_b
+        |  FROM corpus c JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_a, count(*) AS n
+        |                      FROM corpus GROUP BY md5(text) HAVING count(*) > 1) g
+        |    ON md5(c.text) = g.h
+        |  WHERE c.doc_id <> g.doc_a
+        |)""".stripMargin,
+      """edg AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b FROM epr
+        |    UNION ALL
+        |    SELECT doc_a, doc_b FROM jac WHERE jaccard >= CAST(0.9 AS DOUBLE))
+        |)""".stripMargin,
+      """und AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM edg
+        |  UNION ALL
+        |  SELECT doc_b AS a, doc_a AS b FROM edg
+        |)""".stripMargin,
+      "nds AS (SELECT DISTINCT a AS doc_id FROM und)",
+      """reach AS (
+        |  SELECT doc_id AS node, doc_id AS r FROM nds
+        |  UNION
+        |  SELECT u.b AS node, reach.r AS r FROM reach JOIN und u ON u.a = reach.node
+        |)""".stripMargin,
+      "cmp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)",
+      """wgt AS (
+        |  SELECT doc_id,
+        |    ((CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 4096)
+        |      * 2654435761) % 2003 - 1001 AS weight
+        |  FROM wrd
+        |)""".stripMargin,
+      """scr AS (
+        |  SELECT doc_id,
+        |    CAST(((sum(weight) + 1001 * count(*)) * 1000) // count(*) AS BIGINT) AS score
+        |  FROM wgt GROUP BY doc_id
+        |)""".stripMargin,
+      """mcs AS (
+        |  SELECT c.doc_id, c.component, s.score,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY s.score DESC, c.doc_id) AS rn
+        |  FROM cmp c JOIN scr s ON c.doc_id = s.doc_id
+        |)""".stripMargin)(
+      """SELECT doc_id, component, score,
+        |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM mcs""".stripMargin),
 
     "q93_dup_clusters" -> withCtes(corpus,
       """cl93 AS (

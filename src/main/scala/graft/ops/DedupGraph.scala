@@ -111,6 +111,27 @@ object DedupGraph {
         (col("doc_id") === col("component")).cast("int").as("keep"))
   }
 
+  /** q142: canonical-document selection by QUALITY — inside each dup
+    * component, keep the member with the best classifier score instead of
+    * the smallest id (the policy step RefinedWeb/FineWeb-style pipelines run
+    * after clustering: of N copies, retain the least-mangled one; min-id
+    * keep would happily retain the truncated clone). Winner = max score,
+    * ties broken by min doc_id via one `min(struct)` partial aggregate —
+    * never a per-component window. Composes two oracle-checked chains
+    * (dup components ∘ hashed quality classifier) end-to-end. */
+  def canonicalPick(docs: DataFrame): DataFrame = {
+    val comp = components(dupEdges(docs))
+    val scored = QualityModels.qualityClassifier(docs)
+      .select(col("doc_id"), col("avg_shift_ppk").as("score"))
+    val m = comp.join(scored, "doc_id")
+    val win = m.groupBy(col("component"))
+      .agg(min(struct((-col("score")).as("ns"), col("doc_id").as("id"))).as("w"))
+      .select(col("component"), col("w.id").as("winner"))
+    m.join(win, "component")
+      .select(col("doc_id"), col("component"), col("score"),
+        (col("doc_id") === col("winner")).cast("int").as("keep"))
+  }
+
   /** q118: every doc that participates in any dup relation, its component's
     * canonical id, and the component size — the keep/drop ledger of a
     * cluster-level dedup pass (keep ⇔ doc_id = component). */

@@ -130,6 +130,25 @@ object WebCuration {
         col("first_pid"), col("rnk").cast("int").as("rnk"))
   }
 
+  /** q141: crawl-frontier politeness schedule — per host, a FIFO of its URLs
+    * (by first-seen timestamp, then URL for a total order) dealt into fetch
+    * ticks at `perTick` requests per host per tick (the crawl-delay budget).
+    * The per-host window is the HONEST cost: politeness serializes each host
+    * by definition, so a host's schedule length IS its crawl time and the
+    * skew bound is the politeness policy itself, not the engine — hosts
+    * parallelize freely (partition key = host), and the global tick horizon
+    * `max(tick)` falls out per host for capacity planning. */
+  def frontierSchedule(pages: DataFrame, perTick: Int = 2): DataFrame = {
+    val byHost = Window.partitionBy(col("host"))
+      .orderBy(col("warc_ts"), col("url"))
+    pages
+      .select(col("url"), col("warc_ts"),
+        split_part(col("url"), lit("/"), lit(3)).as("host"))
+      .withColumn("slot", (row_number().over(byHost) - 1).cast("long"))
+      .withColumn("tick", expr(s"slot div $perTick"))
+      .select(col("host"), col("url"), col("slot"), col("tick"))
+  }
+
   /** Deterministic stratified subsample (q81) — training-mix balancing: per
     * language, keep the first ceil(frac · n_lang) documents in content-hash
     * order (md5 of the id — a fixed pseudo-random permutation, so the sample

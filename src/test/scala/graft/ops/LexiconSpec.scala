@@ -44,6 +44,26 @@ class LexiconSpec extends SparkTestBase {
     assert(got.map(r => r._1 -> r._4).toMap == Map(1L -> 1, 2L -> 0, 3L -> 0))
   }
 
+  test("canonicalPick: the highest-quality member wins its component, not the min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val d = docs(
+      1L -> base, 2L -> base,                      // exact pair
+      3L -> base.substring(0, base.length - 12))   // near-dup (truncated)
+    val got = DedupGraph.canonicalPick(d)
+      .select("doc_id", "component", "score", "keep")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got.count(_._4 == 1) == 1, "exactly one winner per component")
+    // the winner has the max score; among equal scores the min id wins —
+    // docs 1 and 2 are byte-identical (equal scores), so 3 can only win by
+    // strictly higher score
+    val byId = got.map(r => r._1 -> r).toMap
+    val winner = got.filter(_._4 == 1).head
+    assert(got.forall(r => winner._3 >= r._3))
+    assert(byId(1L)._3 == byId(2L)._3)
+    if (winner._1 == 2L) fail("equal-score tie must break to the smaller id")
+  }
+
   // ---- TextOps.decontaminate ----
 
   test("decontaminate: eval doc overlaps itself fully; disjoint doc is absent") {

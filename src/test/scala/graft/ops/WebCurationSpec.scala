@@ -26,6 +26,21 @@ class WebCurationSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("frontier schedule: per-host FIFO slots are dense; ticks hold ≤ perTick urls") {
+    val out = WebCuration.frontierSchedule(Synth.pages(spark, sf0001)).cache()
+    // slots are 0..n_host-1 per host (dense FIFO)
+    val bad = out.groupBy($"host")
+      .agg(count(lit(1)).as("n"), max($"slot").as("mx"), min($"slot").as("mn"),
+        countDistinct($"slot").as("nd"))
+      .filter($"mn" =!= 0 || $"mx" =!= $"n" - 1 || $"nd" =!= $"n")
+    assert(bad.count() === 0, "slots must be a dense 0..n-1 per host")
+    // politeness: no (host, tick) exceeds the per-tick budget
+    val over = out.groupBy($"host", $"tick").agg(count(lit(1)).as("n"))
+      .filter($"n" > 2)
+    assert(over.count() === 0)
+    out.unpersist()
+  }
+
   test("url canonicalization collapses noise variants: one canonical per page, fetch counts preserved") {
     val pages = Synth.pages(spark, sf0001)
     val out = WebCuration.canonicalUrls(pages).cache()
