@@ -65,26 +65,44 @@ object BloomIndex {
       .groupBy(col("shard"), col("word"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
 
+  /** The production probe: per batch doc, `maybe_present` = all k probe bits
+    * set in `filt` (a filter table from [[build]], in production a persisted
+    * artifact). MAP-ONLY on the batch: the k probe positions are computed as
+    * COLUMNS (never exploded into rows) and each is resolved by its own
+    * broadcast join against the tiny filter table, AND-ed with `least` — so
+    * the batch side has zero exchanges, not even the one-row-per-doc
+    * re-aggregation an explode→groupBy(doc_id) shape would pay. At 10^12
+    * docs that is the difference between a pure scan and a corpus-wide
+    * shuffle whose only purpose is undoing the explode. */
+  def probeAgainst(filt: DataFrame, batch: DataFrame): DataFrame = {
+    var cur = keyed(batch)
+      .withColumn("h1", expr(s"hb % $BitsPerShard"))
+      .withColumn("h2", expr(s"1 + (hb % ${BitsPerShard - 1})"))
+    for (k <- 0 until KHashes) {
+      cur = cur
+        .withColumn(s"p$k", expr(s"(h1 + $k * h2) % $BitsPerShard"))
+        .withColumn(s"word$k", expr(s"p$k div 63").cast("int"))
+        .join(broadcast(filt.select(col("shard"), col("word").as(s"word$k"),
+          col("bits").as(s"bits$k"))), Seq("shard", s"word$k"), "left")
+        .withColumn(s"hit$k", expr(
+          s"CAST(shiftright(coalesce(bits$k, CAST(0 AS BIGINT)), CAST(p$k % 63 AS INT)) % 2 AS INT)"))
+    }
+    cur.select(col("doc_id"), col("hb"),
+      least((0 until KHashes).map(k => col(s"hit$k")): _*).as("maybe_present"))
+  }
+
   /** q136: probe `batch` against the filter built from `base` — per probe
     * doc: `maybe_present` (all k bits set; includes deterministic false
     * positives) and `present_exact` (the ground-truth content match, so the
-    * two columns audit the FP rate row by row). The Bloom leg broadcasts the
-    * filter table, so THAT path never shuffles the batch — which is the
-    * whole point of the op: in production only `maybe_present = 1` rows
-    * (dup density × (1 + FP rate) of the batch) proceed to the exact join /
-    * band join. The `present_exact` audit column here pays the hash
-    * equi-join the filter exists to avoid — it is the correctness oracle's
-    * ground truth, not part of the production path. */
+    * two columns audit the FP rate row by row). The Bloom leg is
+    * [[probeAgainst]] — map-only on the batch; in production only
+    * `maybe_present = 1` rows (dup density × (1 + FP rate) of the batch)
+    * proceed to the exact join / band join. The `present_exact` audit column
+    * here pays the hash equi-join the filter exists to avoid — it is the
+    * correctness oracle's ground truth, not part of the production path. */
   def probe(base: DataFrame, batch: DataFrame): DataFrame = {
-    val filt = build(base)
     val baseHashes = keyed(base).select(col("hb")).distinct()
-    val hits = positions(keyed(batch))
-      .join(broadcast(filt), Seq("shard", "word"), "left")
-      .withColumn("hit",
-        expr("CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit) % 2 AS INT)"))
-      .groupBy(col("doc_id"), col("hb"))
-      .agg(min(col("hit")).as("maybe_present"))
-    hits
+    probeAgainst(build(base), batch)
       .join(baseHashes.withColumn("present_exact", lit(1)), Seq("hb"), "left")
       .select(col("doc_id"), col("maybe_present"),
         coalesce(col("present_exact"), lit(0)).as("present_exact"))

@@ -37,6 +37,27 @@ class BloomIndexSpec extends SparkTestBase {
     assert(filt.filter(col("bits") < 0).count() == 0)
   }
 
+  test("production probe vs a persisted filter is map-only: zero shuffle exchanges") {
+    val base = docs((0L until 100L).map(i => (i, s"doc $i")): _*)
+    // persist the filter as production would, so the probe plan is measured
+    // against an artifact scan, not against the build's own aggregation
+    val dir = java.nio.file.Files.createTempDirectory("bloomfilt").toString
+    BloomIndex.build(base).write.mode("overwrite").parquet(dir)
+    val filt = SharedSpark.spark.read.parquet(dir)
+    val batch = docs((0L until 100L).map(i => (1000 + i, s"doc ${i * 2}")): _*)
+    val out = BloomIndex.probeAgainst(filt, batch)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"bloom probe must not shuffle the batch:\n${plan.take(3000)}")
+    // and it still computes the same maybe_present as the audit wrapper
+    val viaProbe = BloomIndex.probe(base, batch)
+      .select("doc_id", "maybe_present").as[(Long, Int)].collect().toMap
+    val viaArtifact = out.select("doc_id", "maybe_present")
+      .as[(Long, Int)].collect().toMap
+    assert(viaProbe == viaArtifact)
+  }
+
   test("bloom probe is deterministic (two runs, identical rows)") {
     val base = docs((0L until 50L).map(i => (i, s"doc $i")): _*)
     val batch = docs((0L until 50L).map(i => (100 + i, s"doc ${i * 3}")): _*)
