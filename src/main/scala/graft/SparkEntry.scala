@@ -938,6 +938,22 @@ object SparkEntry {
     "q142_canonical_pick" -> ((s, dir) =>
       DedupGraph.canonicalPick(Synth.corpus(s, dir))),
 
+    // anchor-text aggregation: each in-link carries its source page's lead
+    // terms; per target the top-3 terms by in-link frequency (one
+    // partial-aggregating exchange + WindowGroupLimit top-k)
+    "q143_anchor_text" -> ((s, dir) =>
+      LinkGraph.anchorText(Synth.corpus(s, dir))),
+
+    // host-graph condensation: page edges collapsed to weighted host-pair
+    // edges (the step that makes 10^12-page authority analytics tractable)
+    "q144_host_graph" -> ((s, dir) =>
+      LinkGraph.hostGraph(Synth.pages(s, dir), Synth.corpus(s, dir))),
+
+    // refetch content-drift ranking: closed-form per-fetch change flags,
+    // two partial aggs to host grain — the crawler revisit-policy signal
+    "q145_content_drift" -> ((s, dir) =>
+      WebCuration.contentDrift(Synth.pages(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1436,6 +1452,18 @@ object SparkEntry {
           |)""".stripMargin)
   }
 
+  // ---- shared link-graph CTEs (q140/q143/q144): nodes = base corpus docs,
+  // edges = the 3-quadratic-residue-target synthetic graph ----
+  private val lgNds = "nds AS (SELECT doc_id FROM corpus WHERE doc_id < 1000000)"
+  private val lgNtot = "ntot AS (SELECT count(*) AS n FROM nds)"
+  private val lgEdg =
+    """edg AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id AS src, (doc_id * doc_id + g.k * 7919 + 13) % t.n AS dst
+      |    FROM nds CROSS JOIN ntot t CROSS JOIN generate_series(0, 2) g(k))
+      |  WHERE dst <> src
+      |)""".stripMargin
+
   private def oracleSqlRest: Map[String, String] = Map(
 
     "q23_reaches" -> withCtes(net)(
@@ -1872,15 +1900,7 @@ object SparkEntry {
     // fixed-point PageRank, 3 unrolled rounds: hash-derived 3-out-link graph
     // over the contiguous base-doc id space; damping 85/100, teleport
     // 150000000 div n, every step floor-divided BIGINT ppb
-    "q140_pagerank" -> withCtes(corpus,
-      "nds AS (SELECT doc_id FROM corpus WHERE doc_id < 1000000)",
-      "ntot AS (SELECT count(*) AS n FROM nds)",
-      """edg AS (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT doc_id AS src, (doc_id * doc_id + g.k * 7919 + 13) % t.n AS dst
-        |    FROM nds CROSS JOIN ntot t CROSS JOIN generate_series(0, 2) g(k))
-        |  WHERE dst <> src
-        |)""".stripMargin,
+    "q140_pagerank" -> withCtes(corpus, lgNds, lgNtot, lgEdg,
       "odg AS (SELECT src, count(*) AS outdeg FROM edg GROUP BY src)",
       "idg AS (SELECT dst, count(*) AS n_in FROM edg GROUP BY dst)",
       "pr0 AS (SELECT doc_id, 1000000000 // t.n AS r FROM nds CROSS JOIN ntot t)",
@@ -1929,6 +1949,84 @@ object SparkEntry {
         |  FROM pgu
         |)""".stripMargin)(
       "SELECT host, url, slot, CAST(slot // 2 AS BIGINT) AS tick FROM fsl"),
+
+    // anchor-text aggregation: in-link lead-term counts per target, top-3
+    // under the (n_links desc, w asc) total order — the engine's
+    // WindowGroupLimit ≡ the oracle's row_number cut
+    "q143_anchor_text" -> withCtes(corpus, lgNds, lgNtot, lgEdg,
+      """anc AS (
+        |  SELECT doc_id AS src, ws[g.i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM corpus WHERE doc_id < 1000000)
+        |  CROSS JOIN generate_series(1, 3) g(i)
+        |  WHERE g.i <= len(ws)
+        |)""".stripMargin,
+      """acn AS (
+        |  SELECT e.dst AS doc_id, a.w, count(*) AS n_links
+        |  FROM edg e JOIN anc a ON e.src = a.src
+        |  GROUP BY e.dst, a.w
+        |)""".stripMargin,
+      """ark AS (
+        |  SELECT doc_id, w, n_links,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n_links DESC, w) AS rnk
+        |  FROM acn
+        |)""".stripMargin)(
+      """SELECT doc_id, w, CAST(n_links AS BIGINT) AS n_links,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM ark WHERE rnk <= 3""".stripMargin),
+
+    // host-graph condensation: page edges → weighted host-pair edges,
+    // self-host edges dropped
+    "q144_host_graph" -> withCtes(corpus, lgNds, lgNtot, lgEdg,
+      """hst AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS pid,
+        |    source || '.example.com' AS host
+        |  FROM documents
+        |)""".stripMargin)(
+      """SELECT sh.host AS src_host, dh.host AS dst_host,
+        |  CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT e.src) AS BIGINT) AS n_src_pages
+        |FROM edg e
+        |JOIN hst sh ON e.src = sh.pid
+        |JOIN hst dh ON e.dst = dh.pid
+        |WHERE sh.host <> dh.host
+        |GROUP BY sh.host, dh.host""".stripMargin),
+
+    // refetch content-drift: closed-form per-fetch change flags (v(f) vs
+    // v(f-1), both pure functions of (pid, f)), rolled up to host grain
+    "q145_content_drift" -> withCtes(
+      """ftc AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS pid,
+        |    source || '.example.com' AS host, g.f AS f
+        |  FROM documents CROSS JOIN generate_series(0, 2) g(f)
+        |  WHERE g.f <= doc_id % 3
+        |)""".stripMargin,
+      """chg AS (
+        |  SELECT pid, host,
+        |    CASE WHEN f = 0 THEN 0
+        |         WHEN ((pid // (f + 1)) % 3) <> ((pid // f) % 3) THEN 1
+        |         ELSE 0 END AS changed
+        |  FROM ftc
+        |)""".stripMargin,
+      """pdu AS (
+        |  SELECT pid, host, count(*) - 1 AS n_refetches,
+        |    sum(changed) AS n_changed
+        |  FROM chg GROUP BY pid, host
+        |)""".stripMargin,
+      """hdr AS (
+        |  SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |    CAST(sum(n_refetches) AS BIGINT) AS n_refetches,
+        |    CAST(sum(n_changed) AS BIGINT) AS n_changed
+        |  FROM pdu GROUP BY host
+        |)""".stripMargin)(
+      """SELECT host, n_urls, n_refetches, n_changed,
+        |  CAST(CASE WHEN n_refetches = 0 THEN 0
+        |       ELSE (n_changed * 1000000) // n_refetches END AS BIGINT) AS drift_ppm,
+        |  CASE WHEN n_refetches > 0 AND (n_changed * 1000000) // n_refetches >= 500000 THEN 'volatile'
+        |       WHEN n_refetches > 0 AND n_changed > 0 THEN 'drifting'
+        |       ELSE 'static' END AS bucket
+        |FROM hdr""".stripMargin),
 
     // canonical pick: q118's component chain ∘ q138's classifier chain;
     // winner per component = (score desc, doc_id asc) — the engine's

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics over the web corpus: fixed-point PageRank — the
@@ -77,5 +78,63 @@ object LinkGraph {
       .select(col("doc_id"), col("r").as("rank_ppb"),
         coalesce(col("n_in"), lit(0L)).as("n_in"),
         coalesce(col("outdeg"), lit(0L)).as("n_out"))
+  }
+
+  /** q143: anchor-text aggregation — the classic relevance/quality signal a
+    * web corpus attaches to each TARGET page: the terms its in-links use to
+    * describe it. Each edge carries the source page's anchor terms (the
+    * first 3 words of the source doc — the corpus fixture has no markup, so
+    * the lead words stand in for the `<a>` text deterministically); per
+    * target the in-link term frequencies aggregate and the top-`k` terms
+    * survive under a total order (n_links desc, w asc).
+    *
+    * Scale notes: anchors derive per-row (a `slice(split(...))` — no join
+    * back to a words table), edges ⋈ anchors shuffles on `src` (AQE
+    * skew-splittable), term counts collapse in ONE partial-aggregating
+    * exchange on (dst, w) — a celebrity page's million in-links are a hot
+    * REDUCE key with map-side combine — and the per-target top-k is the
+    * WindowGroupLimit shape (map-side heaps, never a full per-target sort).
+    * Output is bounded by k · targets regardless of in-link skew. */
+  def anchorText(docs: DataFrame, k: Int = 3): DataFrame = {
+    val anchors = docs.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("src"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("w"))
+    val counts = edges(docs).join(anchors, "src")
+      .groupBy(col("dst").as("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n_links"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_links").desc, col("w").asc)
+    counts
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("w"), col("n_links"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** q144: host-graph condensation — collapse the page-level link graph to
+    * host grain: (src_host, dst_host) edges with page-link weight and the
+    * count of distinct linking pages, self-host edges dropped. At 10^12
+    * pages this is the step that makes authority analytics tractable — the
+    * host graph is orders of magnitude smaller than the page graph, and
+    * every downstream ranking (host authority, spam neighborhoods, crawl
+    * budgets) runs on the condensed table.
+    *
+    * Scale notes: two equi-joins attach hosts to edge endpoints (the
+    * pid→host map is corpus-sized, so these are shuffle joins on the edge
+    * key — AQE sizes and skew-splits them; the map side is never built as a
+    * broadcast because hosts-per-page is 1:1 corpus cardinality), then ONE
+    * partial-aggregating exchange on (src_host, dst_host). The distinct
+    * linking-page count uses Spark's two-level partial-distinct aggregate —
+    * no extra pass over the edge table. */
+  def hostGraph(pages: DataFrame, docs: DataFrame): DataFrame = {
+    val hostOf = pages.select(col("pid"),
+      split_part(col("url"), lit("/"), lit(3)).as("host"))
+    edges(docs)
+      .join(hostOf.select(col("pid").as("src"), col("host").as("src_host")), "src")
+      .join(hostOf.select(col("pid").as("dst"), col("host").as("dst_host")), "dst")
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src")).as("n_src_pages"))
   }
 }

@@ -130,6 +130,46 @@ object WebCuration {
         col("first_pid"), col("rnk").cast("int").as("rnk"))
   }
 
+  /** q145: refetch content-drift ranking — the signal behind every crawler's
+    * revisit policy: per host, how often does a page's content actually
+    * CHANGE between fetches? Each page's fetch sequence (1–3 fetches, same
+    * synthetic schedule as [[fetchLog]]) carries a deterministic content
+    * version `v(f) = (pid div (f+1)) % 3`; a refetch "changed" iff its
+    * version differs from the previous fetch's. Hosts roll up to a drift
+    * rate in ppm and a revisit bucket (volatile ≥ 50 %, drifting > 0,
+    * static).
+    *
+    * Scale notes: the change flag is CLOSED-FORM per fetch row (v(f) vs
+    * v(f−1) — both computable from (pid, f) alone), so there is NO per-url
+    * window and no lag(): the whole op is a per-row explode + two
+    * partial-aggregating exchanges (pid grain — map-side combine collapses
+    * the ≤ 3 co-located fetch rows before the shuffle — then host grain).
+    * The ppm rate is exact BIGINT division; a host with no refetches reads
+    * drift_ppm = 0 / static, not null. */
+  def contentDrift(pages: DataFrame): DataFrame = {
+    val fetches = pages
+      .select(col("pid"), split_part(col("url"), lit("/"), lit(3)).as("host"),
+        explode(sequence(lit(0L), col("pid") % 3)).as("f"))
+      .withColumn("changed",
+        when(col("f") === 0, lit(0L)).otherwise(
+          (expr("(pid div (f + 1)) % 3") =!= expr("(pid div f) % 3")).cast("long")))
+    val perUrl = fetches
+      .groupBy(col("pid"), col("host"))
+      .agg((count(lit(1)) - 1).as("n_refetches"), sum(col("changed")).as("n_changed"))
+    perUrl
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("n_refetches")).as("n_refetches"),
+        sum(col("n_changed")).as("n_changed"))
+      .withColumn("drift_ppm",
+        when(col("n_refetches") === 0, lit(0L))
+          .otherwise(expr("(n_changed * 1000000) div n_refetches")))
+      .withColumn("bucket",
+        when(col("drift_ppm") >= 500000L, lit("volatile"))
+          .when(col("drift_ppm") > 0L, lit("drifting"))
+          .otherwise(lit("static")))
+  }
+
   /** q141: crawl-frontier politeness schedule — per host, a FIFO of its URLs
     * (by first-seen timestamp, then URL for a total order) dealt into fetch
     * ticks at `perTick` requests per host per tick (the crawl-delay budget).

@@ -47,4 +47,53 @@ class LinkGraphSpec extends SparkTestBase {
     val b = LinkGraph.pageRank(d).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("anchorText: top-3 per target, total order, counts match a brute-force recompute") {
+    val d = docs(300)
+    val got = LinkGraph.anchorText(d)
+      .select($"doc_id", $"w", $"n_links", $"rnk")
+      .as[(Long, String, Long, Int)].collect()
+    val perDoc = got.groupBy(_._1)
+    // ≤ 3 rows per target, rnk contiguous from 1, n_links non-increasing in rnk
+    assert(perDoc.values.forall(_.length <= 3))
+    perDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
+    }
+    // brute force: replay the edge formula + lead words in Scala
+    val e = LinkGraph.edges(d).as[(Long, Long)].collect()
+    val words = (0L until 300L).map(i => i -> Seq("doc", i.toString)).toMap
+    val counts = e.flatMap { case (src, dst) => words(src).map(w => (dst, w)) }
+      .groupBy(identity).map { case ((dst, w), v) => (dst, w, v.length.toLong) }
+    val expTop = counts.groupBy(_._1).map { case (dst, rows) =>
+      dst -> rows.toSeq.sortBy(r => (-r._3, r._2)).take(3).map(r => (r._2, r._3))
+    }
+    assert(perDoc.keySet == expTop.keySet)
+    perDoc.foreach { case (dst, rows) =>
+      val gotSeq = rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(gotSeq == expTop(dst), s"target $dst")
+    }
+  }
+
+  test("hostGraph: no self-host edges; weights match a brute-force condensation") {
+    val pages = graft.synth.Synth.pages(spark, sf0001)
+    val d = graft.synth.Synth.corpus(spark, sf0001)
+    val got = LinkGraph.hostGraph(pages, d).cache()
+    assert(got.filter($"src_host" === $"dst_host").count() === 0)
+    assert(got.filter($"n_src_pages" > $"n_links").count() === 0)
+    // brute force off the same edge table + host map
+    val hostOf = pages.select($"pid", $"url").as[(Long, String)].collect()
+      .map { case (pid, url) => pid -> url.split("/")(2) }.toMap
+    val e = LinkGraph.edges(d).as[(Long, Long)].collect()
+    val exp = e.map { case (s, t) => (hostOf(s), hostOf(t), s) }
+      .filter(r => r._1 != r._2)
+      .groupBy(r => (r._1, r._2))
+      .map { case ((sh, dh), v) =>
+        (sh, dh, v.length.toLong, v.map(_._3).distinct.length.toLong) }
+      .toSet
+    val gotSet = got.as[(String, String, Long, Long)].collect().toSet
+    assert(gotSet == exp)
+    got.unpersist()
+  }
 }

@@ -137,4 +137,42 @@ class WebCurationSpec extends SparkTestBase {
     assert(byTask.count() === 0)
     plan.unpersist()
   }
+
+  test("content drift: host rollups match a per-page brute-force recompute") {
+    val pages = Synth.pages(spark, sf0001)
+    val out = WebCuration.contentDrift(pages).cache()
+    // brute force: recompute every page's fetch-version sequence in Scala
+    val hostOf = pages.select($"pid", $"url").as[(Long, String)].collect()
+      .map { case (pid, url) => pid -> url.split("/")(2) }.toMap
+    val pids = hostOf.keys.toArray.sorted
+    def host(pid: Long) = hostOf(pid)
+    // per-host expected totals from the closed forms
+    val perPid = pids.map { pid =>
+      val fs = 0L to (pid % 3)
+      val changed = fs.count(f => f > 0 && (pid / (f + 1)) % 3 != (pid / f) % 3)
+      (pid, fs.length - 1, changed.toLong)
+    }
+    val expTotals = perPid.map { case (_, r, c) => (r.toLong, c) }
+      .foldLeft((0L, 0L)) { case ((ar, ac), (r, c)) => (ar + r, ac + c) }
+    val gotTotals = out.agg(sum($"n_refetches"), sum($"n_changed"))
+      .as[(Long, Long)].head()
+    assert(gotTotals === expTotals)
+    // n_urls covers every page exactly once
+    assert(out.agg(sum($"n_urls")).as[Long].head() === pids.length.toLong)
+    // bucket is consistent with the ppm rate on every host
+    val bad = out.filter(
+      ($"drift_ppm" >= 500000L && $"bucket" =!= "volatile") ||
+        ($"drift_ppm" > 0L && $"drift_ppm" < 500000L && $"bucket" =!= "drifting") ||
+        ($"drift_ppm" === 0L && $"bucket" =!= "static")).count()
+    assert(bad === 0)
+    // changes can only happen on refetches
+    assert(out.filter($"n_changed" > $"n_refetches").count() === 0)
+    // one deep check on an arbitrary multi-fetch host
+    val h = host(perPid.filter(_._2 > 0).head._1)
+    val exp = perPid.filter(p => host(p._1) == h)
+    val row = out.filter($"host" === h)
+      .select($"n_urls", $"n_refetches", $"n_changed").as[(Long, Long, Long)].head()
+    assert(row === ((exp.length.toLong, exp.map(_._2.toLong).sum, exp.map(_._3).sum)))
+    out.unpersist()
+  }
 }
