@@ -137,4 +137,49 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col("src")).as("n_src_pages"))
   }
+
+  /** q148: HITS hubs & authorities, `rounds` mutual-reinforcement rounds —
+    * PageRank's companion ranking (a page is a good AUTHORITY if good hubs
+    * link to it; a good HUB if it links to good authorities), the other
+    * classic link-quality prior a curation pipeline attaches to pages.
+    *
+    * Determinism: scores are BIGINT ppm; hubs start at 10^6 and each
+    * half-round is sum-over-neighbors followed by max-normalization back to
+    * the [0, 10^6] grid with floor division — no libm, integer sums commute
+    * exactly, so Spark and the DuckDB oracle agree bit-for-bit. (Classical
+    * HITS L2-normalizes — sqrt would be bit-portable via the Newton ladder
+    * used elsewhere, but max-normalization preserves the same total
+    * preorder and keeps every intermediate integral.) Overflow headroom:
+    * score ≤ 10^6, so a node's raw sum ≤ 10^6·degree and the ·10^6
+    * renormalization stays under 2^63 for any degree < 9·10^6 — beyond
+    * that, drop the grid to ppk (documented bound, not a silent wrap).
+    *
+    * Scale notes: each half-round is the PR round shape — edges ⋈ scores
+    * shuffled on one endpoint, then ONE partial-aggregating exchange on the
+    * other (hot hubs/authorities are combine-collapsed reduce keys, never
+    * hot build sides); the max-normalizer is a 1-row broadcast. Round count
+    * fixed and small; at production round counts, checkpoint scores every
+    * ~10 rounds like PR. */
+  def hits(docs: DataFrame, rounds: Int = 2): DataFrame = {
+    val nodes = docs.filter(col("doc_id") < 1000000L).select(col("doc_id"))
+    val e = edges(docs)
+    var hub = nodes.select(col("doc_id"), lit(1000000L).as("s"))
+    var auth = nodes.select(col("doc_id"), lit(0L).as("s"))
+    for (_ <- 1 to rounds) {
+      val araw = e.join(hub.select(col("doc_id").as("src"), col("s")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(sum(col("s")).as("raw"))
+      val amax = araw.agg(max(col("raw")).as("mx"))
+      auth = nodes.join(araw, Seq("doc_id"), "left").crossJoin(broadcast(amax))
+        .select(col("doc_id"),
+          expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div mx").as("s"))
+      val hraw = e.join(auth.select(col("doc_id").as("dst"), col("s")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(sum(col("s")).as("raw"))
+      val hmax = hraw.agg(max(col("raw")).as("mx"))
+      hub = nodes.join(hraw, Seq("doc_id"), "left").crossJoin(broadcast(hmax))
+        .select(col("doc_id"),
+          expr("coalesce(raw, CAST(0 AS BIGINT)) * 1000000 div mx").as("s"))
+    }
+    auth.select(col("doc_id"), col("s").as("auth_ppm"))
+      .join(hub.select(col("doc_id"), col("s").as("hub_ppm")), "doc_id")
+  }
 }

@@ -237,4 +237,153 @@ object WebCuration {
         size(regexp_extract_all(col("dirty"), lit(PhonePat), lit(0))).as("n_phones"),
         regexp_replace(regexp_replace(col("dirty"), EmailPat, "<EMAIL>"),
           PhonePat, "<PHONE>").as("clean"))
+
+  /** Pages with a deterministic 12-word host banner prepended — the fixture
+    * for host-level boilerplate detection (real crawls carry nav bars /
+    * cookie notices on every page of a host; the synthetic corpus has no
+    * markup, so a banner paragraph stands in). The banner occupies exactly
+    * one [[ParaWords]] window, so the original text's windows keep their
+    * alignment one paragraph later. */
+  def pagesWithBanner(pages: DataFrame): DataFrame = {
+    val host = split_part(col("url"), lit("/"), lit(3))
+    pages.select(col("pid"), host.as("host"),
+      concat(array_join(array_repeat(concat(lit("b-"), host), ParaWords), " "),
+        lit(" "), col("text")).as("text"))
+  }
+
+  /** q146: host-level boilerplate removal — the template-stripping pass of
+    * C4/CCNet-style curation: a paragraph that appears on ≥ `minSharePct` %
+    * of a host's pages (hosts with ≥ `minPages` pages) is boilerplate
+    * (header/footer/nav chrome), and every occurrence is dropped host-wide —
+    * unlike global paragraph dedup (q73), which keeps first occurrences and
+    * only collapses exact repeats corpus-wide. One row per page: paragraph
+    * counts and the de-templated text (NULL when nothing survives).
+    *
+    * Scale notes: paragraph derivation is the q73 per-row map (no exchange);
+    * page-presence counts are ONE partial-aggregating exchange on
+    * (host, para-hash) — Spark's two-level partial distinct collapses a
+    * banner's million copies map-side; the boilerplate flag table is tiny
+    * (distinct template paragraphs per host) but is joined back on the SAME
+    * (host, hash) shuffle key, so AQE skew-splits any mega-host; final
+    * reassembly is one per-page aggregate. No windows anywhere. */
+  def hostBoilerplate(pages: DataFrame, minSharePct: Int = 50,
+      minPages: Int = 2): DataFrame = {
+    val docs = pagesWithBanner(pages)
+    val paras = docs
+      .select(col("pid"), col("host"), split(col("text"), " ").as("ws"))
+      .select(col("pid"), col("host"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(ws) + ${ParaWords - 1}) div $ParaWords - 1),
+             |  i -> array_join(slice(ws, i * $ParaWords + 1, $ParaWords), ' '))""".stripMargin))
+          .as(Seq("para_id", "para")))
+      .withColumn("h", conv(substring(md5(col("para")), 1, 15), 16, 10).cast("long"))
+    val hostPages = docs.groupBy(col("host")).agg(count(lit(1)).as("h_pages"))
+    val flags = paras.groupBy(col("host"), col("h"))
+      .agg(countDistinct(col("pid")).as("n_with"))
+      .join(hostPages, "host")
+      .filter(col("n_with") * 100 >= col("h_pages") * minSharePct &&
+        col("h_pages") >= minPages)
+      .select(col("host"), col("h"), lit(1).as("boiler"))
+    paras.join(flags, Seq("host", "h"), "left")
+      .groupBy(col("pid"), col("host"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(coalesce(col("boiler"), lit(0))).cast("bigint").as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("boiler").isNull, struct(col("para_id"), col("para"))))),
+            x => x("para")),
+          " | ").as("joined"))
+      .select(col("pid"), col("host"), col("n_paras"), col("n_boiler"),
+        when(col("n_paras") > col("n_boiler"), col("joined"))
+          .otherwise(lit(null)).as("clean_text"))
+  }
+
+  /** Pages plus a mirror copy of every 3rd page on host `m-<host>` — the
+    * fixture for mirror detection (3 is coprime to the 20-source cycle, so
+    * every host grows a mirror). The mirror is a different URL with
+    * byte-identical content, exactly what a mirrored site serves. */
+  def pagesWithMirror(pages: DataFrame): DataFrame = {
+    val mirrors = pages.filter(col("pid") % 3 === 0)
+      .select(col("pid"),
+        concat(lit("https://m-"), split_part(col("url"), lit("/"), lit(3)),
+          lit("/doc/"), col("pid").cast("string")).as("url"),
+        col("text"))
+    pages.select(col("pid"), col("url"), col("text")).unionByName(mirrors)
+  }
+
+  /** q147: mirror-host detection — host pairs serving ≥ `minShared`
+    * byte-identical documents, with the overlap as ppm of the smaller
+    * host's page count. The standard crawl-curation step that collapses
+    * mirrored sites before per-host quotas are applied (a mirror would
+    * otherwise double its content's weight in the corpus).
+    *
+    * Scale notes: the (host, content-hash) table is distinct-collapsed in
+    * one partial-aggregating pass; hashes on more than `maxHosts` hosts are
+    * excluded BEFORE pairing (syndicated boilerplate on 10^4 hosts would
+    * otherwise explode into 10^8 pairs — the cap bounds pair fan-out at
+    * maxHosts² per hash, the same guard every LSH band join here uses);
+    * the pair self-join keys on the hash (AQE-splittable) and pair counts
+    * collapse in ONE exchange on (host_a, host_b). */
+  def mirrorHosts(pages: DataFrame, maxHosts: Int = 16,
+      minShared: Int = 3): DataFrame = {
+    val withM = pagesWithMirror(pages)
+    val hh = withM.select(split_part(col("url"), lit("/"), lit(3)).as("host"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("hb"))
+      .distinct()
+    val sizes = hh.groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+    val eligible = hh.groupBy(col("hb")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") >= 2 && col("nh") <= maxHosts)
+      .select(col("hb"))
+    val e = hh.join(eligible, "hb")
+    e.as("a").join(e.as("b"),
+        col("a.hb") === col("b.hb") && col("a.host") < col("b.host"))
+      .groupBy(col("a.host").as("host_a"), col("b.host").as("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("host").as("host_a"), col("n_docs").as("n_a")), "host_a")
+      .join(sizes.select(col("host").as("host_b"), col("n_docs").as("n_b")), "host_b")
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        expr("n_shared * 1000000 div least(n_a, n_b)").as("overlap_ppm"))
+  }
+
+  /** q149: host-reputation rollup — the per-host curation table every
+    * blocklist decision reads: page count, duplicated-content share (pages
+    * whose content hash appears on ≥2 crawled URLs anywhere), the
+    * hashed-classifier quality score at host grain, and the verdict
+    * (`mirror-block` ≥ 50 % dup / `low-quality` below the classifier bar /
+    * `keep`). Runs over the mirrored fixture so both block paths fire.
+    *
+    * Scale notes: classifier scoring is map-only (hash-derived weights —
+    * q138's serving path) and collapses DIRECTLY to host grain in one
+    * partial-aggregating exchange (no per-page intermediate); the dup flag
+    * is one hash-count pass joined back on the content hash (AQE-
+    * splittable); the final host join is host-cardinality-sized. */
+  def hostReputation(pages: DataFrame): DataFrame = {
+    val withM = pagesWithMirror(pages)
+      .select(split_part(col("url"), lit("/"), lit(3)).as("host"),
+        col("url"), col("text"))
+    val scores = withM
+      .select(col("host"),
+        explode(expr(s"slice(split(text, ' '), 1, $MaxWords)")).as("w"))
+      .withColumn("weight", expr(
+        s"(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % ${QualityModels.FeatureDim}) * 2654435761 % 2003 - 1001"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_words"), sum(col("weight")).as("w_sum"))
+      .withColumn("score_ppk", expr("((w_sum + 1001 * n_words) * 1000) div n_words"))
+    val hashed = withM.select(col("host"), col("url"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("hb"))
+    val dupHashes = hashed.groupBy(col("hb")).agg(count(lit(1)).as("nocc"))
+    val dups = hashed.join(dupHashes, "hb")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("nocc") >= 2, 1L).otherwise(0L)).as("n_dup_pages"))
+      .withColumn("dup_ppm", expr("n_dup_pages * 1000000 div n_pages"))
+    dups.join(scores.select(col("host"), col("score_ppk")), "host")
+      .select(col("host"), col("n_pages"), col("n_dup_pages"), col("dup_ppm"),
+        col("score_ppk"),
+        when(col("dup_ppm") >= 500000L, lit("mirror-block"))
+          .when(col("score_ppk") < 1001000L, lit("low-quality"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
 }

@@ -76,6 +76,39 @@ class LinkGraphSpec extends SparkTestBase {
     }
   }
 
+  test("hits: one row per node, ppm-bounded, max-normalized, matches a brute-force replay") {
+    val d = docs(250)
+    val got = LinkGraph.hits(d)
+      .select($"doc_id", $"auth_ppm", $"hub_ppm").as[(Long, Long, Long)].collect()
+    assert(got.length == 250)
+    assert(got.forall(r => r._2 >= 0 && r._2 <= 1000000L &&
+      r._3 >= 0 && r._3 <= 1000000L))
+    // max-normalization pins at least one node at exactly 10^6 on each axis
+    assert(got.map(_._2).max == 1000000L)
+    assert(got.map(_._3).max == 1000000L)
+    // brute force: replay the 2 rounds in exact integer arithmetic
+    val e = LinkGraph.edges(d).as[(Long, Long)].collect()
+    val nodes = (0L until 250L).toArray
+    var hub = nodes.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val araw = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(x => hub(x._1)).sum }
+      val amax = araw.values.max
+      auth = nodes.map(n => n -> araw.getOrElse(n, 0L) * 1000000L / amax).toMap
+      val hraw = e.groupBy(_._1).map { case (src, es) =>
+        src -> es.map(x => auth(x._2)).sum }
+      val hmax = hraw.values.max
+      hub = nodes.map(n => n -> hraw.getOrElse(n, 0L) * 1000000L / hmax).toMap
+    }
+    got.foreach { case (id, a, h) =>
+      assert(a == auth(id) && h == hub(id), s"node $id")
+    }
+    // a node nobody links to has zero authority
+    val indeg = e.groupBy(_._2).view.mapValues(_.size).toMap
+    got.filter(r => !indeg.contains(r._1)).foreach(r => assert(r._2 == 0L))
+  }
+
   test("hostGraph: no self-host edges; weights match a brute-force condensation") {
     val pages = graft.synth.Synth.pages(spark, sf0001)
     val d = graft.synth.Synth.corpus(spark, sf0001)

@@ -138,6 +138,77 @@ class WebCurationSpec extends SparkTestBase {
     plan.unpersist()
   }
 
+  test("hostBoilerplate: the banner paragraph is stripped host-wide; unique content survives verbatim") {
+    val pages = Synth.pages(spark, sf0001)
+    val out = WebCuration.hostBoilerplate(pages).cache()
+    assert(out.count() === pages.count())
+    // every page carries the banner, so every page flags ≥ 1 boiler para
+    assert(out.filter($"n_boiler" < 1).count() === 0)
+    // a surviving clean_text never contains a banner token
+    assert(out.filter($"clean_text".isNotNull &&
+      $"clean_text".contains("b-")).count() === 0)
+    // deep check: for a page whose non-banner paragraphs are NOT shared by
+    // half its host, clean_text is exactly the original text re-chunked into
+    // 12-word paragraphs joined by ' | '
+    val sample = pages.select($"pid", $"text").as[(Long, String)].head(50)
+    val got = out.filter($"clean_text".isNotNull)
+      .select($"pid", $"clean_text").as[(Long, String)].collect().toMap
+    var checked = 0
+    sample.foreach { case (pid, text) =>
+      got.get(pid).foreach { clean =>
+        val exp = text.split(" ").grouped(12).map(_.mkString(" ")).mkString(" | ")
+        if (clean == exp) checked += 1
+        else assert(clean.split(" \\| ").toSet.subsetOf(exp.split(" \\| ").toSet),
+          s"pid $pid: survivors must be a subset of the original paragraphs")
+      }
+    }
+    assert(checked > 0, "at least one page survives fully intact")
+    out.unpersist()
+  }
+
+  test("mirrorHosts: every host pairs with its mirror at full overlap of the mirrored subset") {
+    val pages = Synth.pages(spark, sf0001)
+    val out = WebCuration.mirrorHosts(pages).cache()
+    val hosts = pages.select($"url").as[String].collect()
+      .map(_.split("/")(2)).distinct
+    // expected: per host, the mirror carries the distinct texts of pid%3==0
+    val expShared = pages.filter($"pid" % 3 === 0)
+      .select($"url", $"text").as[(String, String)].collect()
+      .groupBy(_._1.split("/")(2)).view.mapValues(_.map(_._2).distinct.length.toLong)
+      .toMap
+    val gotPairs = out.select($"host_a", $"host_b", $"n_shared", $"overlap_ppm")
+      .as[(String, String, Long, Long)].collect()
+    hosts.foreach { h =>
+      val m = s"m-$h"
+      val p = gotPairs.find(r => (r._1 == h && r._2 == m) || (r._1 == m && r._2 == h))
+      assert(p.isDefined, s"host $h must pair with its mirror")
+      assert(p.get._3 === expShared(h), s"host $h shared-doc count")
+      // the mirror is the smaller side and is 100 % shared
+      assert(p.get._4 === 1000000L, s"host $h overlap must be total on the mirror")
+    }
+    out.unpersist()
+  }
+
+  test("hostReputation: mirrors are blocked, originals are not mis-blocked, scores match q138's grain") {
+    val pages = Synth.pages(spark, sf0001)
+    val out = WebCuration.hostReputation(pages).cache()
+    val mirrors = out.filter($"host".startsWith("m-"))
+    assert(mirrors.count() > 0)
+    // every mirror page's content exists on the original host → 100 % dup
+    assert(mirrors.filter($"dup_ppm" =!= 1000000L || $"verdict" =!= "mirror-block")
+      .count() === 0)
+    // an original host's dup share is its mirrored third (±) — never ≥ 50 %
+    assert(out.filter(!$"host".startsWith("m-") && $"verdict" === "mirror-block")
+      .count() === 0)
+    // verdict is a pure function of the two published columns
+    val bad = out.filter(
+      ($"dup_ppm" >= 500000L && $"verdict" =!= "mirror-block") ||
+      ($"dup_ppm" < 500000L && $"score_ppk" < 1001000L && $"verdict" =!= "low-quality") ||
+      ($"dup_ppm" < 500000L && $"score_ppk" >= 1001000L && $"verdict" =!= "keep"))
+    assert(bad.count() === 0)
+    out.unpersist()
+  }
+
   test("content drift: host rollups match a per-page brute-force recompute") {
     val pages = Synth.pages(spark, sf0001)
     val out = WebCuration.contentDrift(pages).cache()
