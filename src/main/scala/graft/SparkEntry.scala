@@ -954,6 +954,43 @@ object SparkEntry {
     "q145_content_drift" -> ((s, dir) =>
       WebCuration.contentDrift(Synth.pages(s, dir))),
 
+    // host-level boilerplate removal: paragraphs on ≥50 % of a host's pages
+    // are template chrome, dropped host-wide (one partial-aggregating
+    // presence count + a same-key join back — no windows)
+    "q146_host_boilerplate" -> ((s, dir) =>
+      WebCuration.hostBoilerplate(Synth.pages(s, dir))),
+
+    // mirror-host detection: host pairs sharing ≥3 byte-identical docs,
+    // hash fan-out capped before pairing (the anti-explosion guard)
+    "q147_mirror_hosts" -> ((s, dir) =>
+      WebCuration.mirrorHosts(Synth.pages(s, dir))),
+
+    // HITS hubs & authorities, 2 mutual-reinforcement rounds on the integer
+    // ppm grid (max-normalized — every intermediate exact BIGINT)
+    "q148_hits" -> ((s, dir) =>
+      LinkGraph.hits(Synth.corpus(s, dir))),
+
+    // host-reputation rollup: dup-content share + classifier score at host
+    // grain → blocklist verdict (mirror-block / low-quality / keep)
+    "q149_host_reputation" -> ((s, dir) =>
+      WebCuration.hostReputation(Synth.pages(s, dir))),
+
+    // DSIR-style importance weighting: hashed-bucket target/raw probability
+    // ratio (ppm, add-one smoothed), model built in ONE exchange, scoring
+    // map-only off a ≤4096-row broadcast
+    "q150_importance_weights" -> ((s, dir) =>
+      QualityModels.importanceWeights(Synth.corpus(s, dir))),
+
+    // source-pair shingle-overlap matrix: distinct (source, hb) in one
+    // partial pass, hash-keyed pair join, exact-ppm Jaccard per cell
+    "q151_source_overlap" -> ((s, dir) =>
+      TextOps.sourceOverlap(s.read.parquet(s"$dir/documents.parquet"))),
+
+    // asymmetric containment over LSH candidates: quote/subset detection
+    // (|A∩B|/|A| vs /|B| in exact ppm) + the keep-the-superset relation
+    "q152_containment" -> ((s, dir) =>
+      TextOps.containment(Synth.corpus(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -2027,6 +2064,237 @@ object SparkEntry {
         |       WHEN n_refetches > 0 AND n_changed > 0 THEN 'drifting'
         |       ELSE 'static' END AS bucket
         |FROM hdr""".stripMargin),
+
+    // host boilerplate: paragraph present on ≥50 % of a host's pages (host
+    // ≥2 pages) dropped host-wide; banner fixture = 12 'b-<host>' words
+    // prepended (occupies exactly one paragraph window)
+    "q146_host_boilerplate" -> withCtes(
+      """pgb AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS pid,
+        |    source || '.example.com' AS host,
+        |    repeat('b-' || source || '.example.com' || ' ', 12) || text AS text
+        |  FROM documents
+        |)""".stripMargin,
+      """bpr AS (
+        |  SELECT pid, host, CAST((g.i - 1) // 12 AS INT) AS para_id,
+        |    string_agg(ws[g.i], ' ' ORDER BY g.i) AS para
+        |  FROM (SELECT pid, host, string_split(text, ' ') AS ws FROM pgb)
+        |  CROSS JOIN generate_series(1, 160) g(i)
+        |  WHERE g.i <= len(ws)
+        |  GROUP BY pid, host, CAST((g.i - 1) // 12 AS INT)
+        |)""".stripMargin,
+      """bph AS (
+        |  SELECT pid, host, para_id, para,
+        |    CAST('0x' || substring(md5(para), 1, 15) AS BIGINT) AS h
+        |  FROM bpr
+        |)""".stripMargin,
+      "bhp AS (SELECT host, count(*) AS h_pages FROM pgb GROUP BY host)",
+      """bfl AS (
+        |  SELECT f.host, f.h, 1 AS boiler
+        |  FROM (SELECT host, h, count(DISTINCT pid) AS n_with
+        |        FROM bph GROUP BY host, h) f
+        |  JOIN bhp ON f.host = bhp.host
+        |  WHERE f.n_with * 100 >= bhp.h_pages * 50 AND bhp.h_pages >= 2
+        |)""".stripMargin)(
+      """SELECT p.pid, p.host, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(coalesce(b.boiler, 0)) AS BIGINT) AS n_boiler,
+        |  CASE WHEN count(*) > sum(coalesce(b.boiler, 0))
+        |       THEN string_agg(p.para, ' | ' ORDER BY p.para_id)
+        |            FILTER (WHERE b.boiler IS NULL)
+        |       ELSE NULL END AS clean_text
+        |FROM bph p LEFT JOIN bfl b ON p.host = b.host AND p.h = b.h
+        |GROUP BY p.pid, p.host""".stripMargin),
+
+    // mirror hosts: host pairs sharing ≥3 byte-identical docs (hash fan-out
+    // capped at 16 hosts before pairing); fixture mirrors every 3rd page
+    // onto host m-<host>
+    "q147_mirror_hosts" -> withCtes(
+      """pgm AS (
+        |  SELECT 'https://' || source || '.example.com/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://m-' || source || '.example.com/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)""".stripMargin,
+      """mhh AS (
+        |  SELECT DISTINCT split_part(url, '/', 3) AS host,
+        |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS hb
+        |  FROM pgm
+        |)""".stripMargin,
+      "msz AS (SELECT host, count(*) AS n_docs FROM mhh GROUP BY host)",
+      """mel AS (SELECT hb FROM mhh GROUP BY hb
+        |  HAVING count(*) >= 2 AND count(*) <= 16)""".stripMargin,
+      "meh AS (SELECT mhh.host, mhh.hb FROM mhh JOIN mel ON mhh.hb = mel.hb)",
+      """mpr AS (
+        |  SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+        |  FROM meh a JOIN meh b ON a.hb = b.hb AND a.host < b.host
+        |  GROUP BY a.host, b.host
+        |  HAVING count(*) >= 3
+        |)""".stripMargin)(
+      """SELECT p.host_a, p.host_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+        |  CAST(p.n_shared * 1000000 // least(sa.n_docs, sb.n_docs) AS BIGINT)
+        |    AS overlap_ppm
+        |FROM mpr p
+        |JOIN msz sa ON p.host_a = sa.host
+        |JOIN msz sb ON p.host_b = sb.host""".stripMargin),
+
+    // HITS, 2 unrolled mutual-reinforcement rounds: integer ppm grid,
+    // max-normalized (floor division), hubs seeded at 10^6
+    "q148_hits" -> withCtes(corpus, lgNds, lgNtot, lgEdg,
+      """a1r AS (SELECT dst AS doc_id, CAST(sum(1000000) AS BIGINT) AS raw
+        |  FROM edg GROUP BY dst)""".stripMargin,
+      "a1m AS (SELECT max(raw) AS mx FROM a1r)",
+      """a1 AS (SELECT nd.doc_id, coalesce(r.raw, 0) * 1000000 // m.mx AS s
+        |  FROM nds nd CROSS JOIN a1m m LEFT JOIN a1r r ON nd.doc_id = r.doc_id)""".stripMargin,
+      """h1r AS (SELECT e.src AS doc_id, CAST(sum(a.s) AS BIGINT) AS raw
+        |  FROM edg e JOIN a1 a ON e.dst = a.doc_id GROUP BY e.src)""".stripMargin,
+      "h1m AS (SELECT max(raw) AS mx FROM h1r)",
+      """h1 AS (SELECT nd.doc_id, coalesce(r.raw, 0) * 1000000 // m.mx AS s
+        |  FROM nds nd CROSS JOIN h1m m LEFT JOIN h1r r ON nd.doc_id = r.doc_id)""".stripMargin,
+      """a2r AS (SELECT e.dst AS doc_id, CAST(sum(h.s) AS BIGINT) AS raw
+        |  FROM edg e JOIN h1 h ON e.src = h.doc_id GROUP BY e.dst)""".stripMargin,
+      "a2m AS (SELECT max(raw) AS mx FROM a2r)",
+      """a2 AS (SELECT nd.doc_id, coalesce(r.raw, 0) * 1000000 // m.mx AS s
+        |  FROM nds nd CROSS JOIN a2m m LEFT JOIN a2r r ON nd.doc_id = r.doc_id)""".stripMargin,
+      """h2r AS (SELECT e.src AS doc_id, CAST(sum(a.s) AS BIGINT) AS raw
+        |  FROM edg e JOIN a2 a ON e.dst = a.doc_id GROUP BY e.src)""".stripMargin,
+      "h2m AS (SELECT max(raw) AS mx FROM h2r)",
+      """h2 AS (SELECT nd.doc_id, coalesce(r.raw, 0) * 1000000 // m.mx AS s
+        |  FROM nds nd CROSS JOIN h2m m LEFT JOIN h2r r ON nd.doc_id = r.doc_id)""".stripMargin)(
+      """SELECT a2.doc_id, CAST(a2.s AS BIGINT) AS auth_ppm,
+        |  CAST(h2.s AS BIGINT) AS hub_ppm
+        |FROM a2 JOIN h2 ON a2.doc_id = h2.doc_id""".stripMargin),
+
+    // host reputation: dup-content ppm + hashed-classifier score at host
+    // grain → mirror-block / low-quality / keep (mirrored fixture)
+    "q149_host_reputation" -> withCtes(
+      """pgm AS (
+        |  SELECT 'https://' || source || '.example.com/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://m-' || source || '.example.com/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url, text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)""".stripMargin,
+      """rwd AS (
+        |  SELECT split_part(url, '/', 3) AS host, ws[g.i] AS w
+        |  FROM (SELECT url, string_split(text, ' ') AS ws FROM pgm)
+        |  CROSS JOIN generate_series(1, 128) g(i)
+        |  WHERE g.i <= len(ws)
+        |)""".stripMargin,
+      """rsc AS (
+        |  SELECT host, count(*) AS n_words,
+        |    sum(((CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 4096)
+        |          * 2654435761) % 2003 - 1001) AS w_sum
+        |  FROM rwd GROUP BY host
+        |)""".stripMargin,
+      """rhs AS (
+        |  SELECT split_part(url, '/', 3) AS host, url,
+        |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS hb
+        |  FROM pgm
+        |)""".stripMargin,
+      "roc AS (SELECT hb, count(*) AS nocc FROM rhs GROUP BY hb)",
+      """rdp AS (
+        |  SELECT host, count(*) AS n_pages,
+        |    sum(CASE WHEN o.nocc >= 2 THEN 1 ELSE 0 END) AS n_dup_pages
+        |  FROM rhs h JOIN roc o ON h.hb = o.hb GROUP BY host
+        |)""".stripMargin)(
+      """SELECT d.host, CAST(d.n_pages AS BIGINT) AS n_pages,
+        |  CAST(d.n_dup_pages AS BIGINT) AS n_dup_pages,
+        |  CAST(d.n_dup_pages * 1000000 // d.n_pages AS BIGINT) AS dup_ppm,
+        |  CAST(((s.w_sum + 1001 * s.n_words) * 1000) // s.n_words AS BIGINT)
+        |    AS score_ppk,
+        |  CASE WHEN d.n_dup_pages * 1000000 // d.n_pages >= 500000
+        |         THEN 'mirror-block'
+        |       WHEN ((s.w_sum + 1001 * s.n_words) * 1000) // s.n_words < 1001000
+        |         THEN 'low-quality'
+        |       ELSE 'keep' END AS verdict
+        |FROM rdp d JOIN rsc s ON d.host = s.host""".stripMargin),
+
+    // DSIR importance weighting: bucketed add-one target/raw ratio on a ppb
+    // grid, clamp mirrored, per-doc mean ppm + keep verdict
+    "q150_importance_weights" -> withCtes(corpus,
+      """iwd AS (
+        |  SELECT doc_id, lang, ws[g.i] AS w
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM corpus)
+        |  CROSS JOIN generate_series(1, 128) g(i)
+        |  WHERE g.i <= len(ws)
+        |)""".stripMargin,
+      """ibk AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 4096 AS bucket,
+        |    lang
+        |  FROM iwd
+        |)""".stripMargin,
+      """ict AS (
+        |  SELECT bucket, count(*) AS c_r,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        |  FROM ibk GROUP BY bucket
+        |)""".stripMargin,
+      "itt AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t FROM ict)",
+      """irt AS (
+        |  SELECT bucket,
+        |    (c_t + 1) * 1000000000 // (tot_t + 4096) AS pt_ppb,
+        |    (c_r + 1) * 1000000000 // (tot_r + 4096) AS pr_ppb
+        |  FROM ict CROSS JOIN itt
+        |)""".stripMargin,
+      """ir2 AS (SELECT bucket,
+        |  pt_ppb * 1000000 // greatest(pr_ppb, 1) AS r_ppm FROM irt)""".stripMargin)(
+      """SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(r.r_ppm) // count(*) AS BIGINT) AS score_ppm,
+        |  CAST(CASE WHEN sum(r.r_ppm) // count(*) >= 1000000
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM ibk b JOIN ir2 r ON b.bucket = r.bucket
+        |GROUP BY b.doc_id""".stripMargin),
+
+    // source-pair shingle overlap: distinct (source, 60-bit shingle hash),
+    // pair join on the hash, exact-ppm set Jaccard
+    "q151_source_overlap" -> withCtes(
+      """ssh AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substring(md5(substring(text, g.i, 8)), 1, 15) AS BIGINT) AS hb
+        |  FROM documents CROSS JOIN generate_series(1, 505) g(i)
+        |  WHERE length(text) >= 8 AND g.i <= least(length(text), 512) - 7
+        |)""".stripMargin,
+      "ssz AS (SELECT source, count(*) AS sz FROM ssh GROUP BY source)",
+      """spr AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM ssh a JOIN ssh b ON a.hb = b.hb AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)""".stripMargin)(
+      """SELECT p.source_a, p.source_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+        |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        |  CAST(p.n_shared * 1000000 // (sa.sz + sb.sz - p.n_shared) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM spr p
+        |JOIN ssz sa ON p.source_a = sa.source
+        |JOIN ssz sb ON p.source_b = sb.source""".stripMargin),
+
+    // asymmetric containment over the LSH candidate pairs: floor-ppm
+    // |A∩B|/|A| and /|B| + the keep-the-superset relation verdict
+    "q152_containment" -> withCtes(corpus, sh, mh, bnd, prs,
+      dsh, shSz, shInter)(
+      """SELECT p.doc_a, p.doc_b,
+        |  CAST(coalesce(i.i, 0) AS BIGINT) AS n_shared,
+        |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        |  CAST(coalesce(i.i, 0) * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm,
+        |  CAST(coalesce(i.i, 0) * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm,
+        |  CASE WHEN coalesce(i.i, 0) * 1000000 // sa.sz >= 900000
+        |         AND coalesce(i.i, 0) * 1000000 // sb.sz >= 900000
+        |         THEN 'near-equal'
+        |       WHEN coalesce(i.i, 0) * 1000000 // sa.sz >= 900000
+        |         THEN 'a-in-b'
+        |       WHEN coalesce(i.i, 0) * 1000000 // sb.sz >= 900000
+        |         THEN 'b-in-a'
+        |       ELSE 'partial' END AS relation
+        |FROM prs p
+        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b""".stripMargin),
 
     // canonical pick: q118's component chain ∘ q138's classifier chain;
     // winner per component = (score desc, doc_id asc) — the engine's

@@ -92,4 +92,58 @@ object QualityModels {
         when(col("avg_shift_ppk") >= 1001000L, lit(1)).otherwise(lit(0)))
       .select(col("doc_id"), col("n_words"), col("w_sum"),
         col("avg_shift_ppk"), col("keep"))
+
+  /** q150: DSIR-style importance weighting — per-doc importance of the raw
+    * corpus under a TARGET distribution (here: the `targetLang` subset),
+    * the data-selection step of Xie et al. 2023 ("Data Selection for
+    * Language Models via Importance Resampling") in exact arithmetic: words
+    * hash to [[FeatureDim]] buckets; the bucket's importance ratio is the
+    * add-one-smoothed target/raw probability ratio in ppm (each probability
+    * first floored onto a ppb grid — integer division order is fixed, so
+    * Spark and the oracle agree bit-for-bit; the ppb grid resolves a
+    * 1/4096-uniform bucket to ~5 decimal digits); a doc's score is the mean
+    * bucket ratio over its words, kept when ≥ `keepPpm` (more target-like
+    * than raw). `log` would be the classical form — a ratio preserves the
+    * same per-word preorder and stays integral. Overflow headroom:
+    * (c+1)·10⁹ needs c < 9.2·10⁹ occurrences per bucket; beyond that drop
+    * the grid to ppm (documented bound, not a silent wrap).
+    *
+    * Scale notes: ONE partial-aggregating exchange builds the whole model
+    * (raw + target counts as one conditional agg on the bucket key —
+    * FeatureDim rows out, stop-word skew is a combine-collapsed reduce
+    * key); totals are a 1-row broadcast; scoring joins the ≤ FeatureDim-row
+    * ratio table back as a BROADCAST (map-only on the corpus) and collapses
+    * straight to doc grain in one partial agg. Nothing corpus-sized ever
+    * shuffles twice. */
+  def importanceWeights(docs: DataFrame, targetLang: String = "en",
+      keepPpm: Long = 1000000L): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), col("lang"),
+        expr(s"slice(split(text, ' '), 1, ${WebCuration.MaxWords})").as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+      .withColumn("bucket",
+        expr(s"CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % $FeatureDim"))
+    val counts = words.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))
+    val totals = counts.agg(sum(col("c_r")).as("tot_r"), sum(col("c_t")).as("tot_t"))
+    val ratios = counts.crossJoin(broadcast(totals)) // 1-row totals
+      .select(col("bucket"),
+        expr(s"(c_t + 1) * 1000000000 div (tot_t + $FeatureDim)").as("pt_ppb"),
+        expr(s"(c_r + 1) * 1000000000 div (tot_r + $FeatureDim)").as("pr_ppb"))
+      // the add-one numerator keeps pt ≥ 0; the raw side could still floor
+      // to 0 ppb on a vanishingly rare bucket under a huge corpus — clamp
+      // to 1 so the ratio stays total (and the clamp is mirrored verbatim
+      // in the oracle)
+      .select(col("bucket"),
+        expr("pt_ppb * 1000000 div greatest(pr_ppb, CAST(1 AS BIGINT))").as("r_ppm"))
+    words.join(broadcast(ratios), "bucket") // ≤ FeatureDim rows — map-only
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("r_ppm")).as("r_sum"))
+      .select(col("doc_id"), col("n_words"),
+        expr("r_sum div n_words").as("score_ppm"),
+        when(expr("r_sum div n_words") >= keepPpm, 1).otherwise(0)
+          .cast("int").as("keep"))
+  }
 }

@@ -633,4 +633,85 @@ object TextOps {
           .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
             / col("kth").cast("double")).as("kmv_estimate"))
   }
+
+  /** q151: source-pair shingle-overlap matrix — for every pair of corpus
+    * sources (crawl snapshots, registries, dumps) the count of shared
+    * distinct 8-gram shingle hashes and the set-Jaccard in exact ppm: the
+    * corpus-composition diagnostic run before mixing sources (a high cell
+    * means one source largely restates another and its mix weight
+    * double-counts that content).
+    *
+    * Scale notes: the (source, hb) table is distinct-collapsed in ONE
+    * partial-aggregating exchange (most duplicate hashes repeat WITHIN a
+    * source, so the map side collapses them before the shuffle); the pair
+    * self-join keys on the hash and its fan-out is bounded by S² per hash
+    * where S = #sources — a bounded catalog dimension (the output matrix is
+    * S²-sized by definition, so a corpus whose S makes S² large needs the
+    * q144-style condensation FIRST, not a bigger join); cell counts
+    * collapse in one exchange on the source pair. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .filter(length(col("text")) >= ShingleLen)
+      .select(col("source"), explode(array_distinct(expr(
+        s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
+          s"i -> CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT))")))
+        .as("hb"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.hb") === col("b.hb") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("sz_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("sz_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"),
+        expr("n_shared * 1000000 div (sz_a + sz_b - n_shared)").as("jaccard_ppm"))
+  }
+
+  /** q152: asymmetric containment over the LSH candidate pairs —
+    * |A∩B| / |A| and / |B| in exact ppm. Jaccard (q16) misses the
+    * quote/subset case this exists for: a short doc fully embedded in a
+    * long one has tiny Jaccard but containment ≈ 1 on the short side — the
+    * signal that separates "B quotes A wholesale" from "A and B overlap a
+    * bit", which drives KEEP-THE-SUPERSET retention where symmetric dedup
+    * would keep both.
+    *
+    * Scale notes: identical shape to [[ngramJaccardFrom]] — candidate pairs
+    * from the banded LSH chain (never all-pairs), the shingle table cut to
+    * pair participants by a semi-join BEFORE the verify joins (bounded by
+    * dup density, not corpus size), shuffle_hash pinning the build side.
+    * All outputs integer (counts + floor-ppm) ⇒ bit-identical at any
+    * partitioning. */
+  def containment(docs: DataFrame): DataFrame = containmentFrom(shingleHashes(docs))
+
+  def containmentFrom(sh: DataFrame): DataFrame = {
+    val pairs = pairsOf(bandsOf(minhashWideFrom(sh))).cache()
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shP = sh.join(pairDocs, Seq("doc_id"), "left_semi").cache()
+    val sizes = shP.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .hint("shuffle_hash")
+      .join(shP.select(col("doc_id").as("doc_a"), col("hb")), "doc_a")
+      .hint("shuffle_hash")
+      .join(shP.select(col("doc_id").as("doc_b"), col("hb")), Seq("doc_b", "hb"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
+        col("sz_a"), col("sz_b"),
+        expr("i * 1000000 div sz_a").as("cont_a_ppm"),
+        expr("i * 1000000 div sz_b").as("cont_b_ppm"),
+        // the retention policy this op feeds: when one side is ≥ 90 %
+        // contained in the other, the CONTAINING (superset) doc is the keep
+        when(expr("i * 1000000 div sz_a") >= 900000L &&
+             expr("i * 1000000 div sz_b") >= 900000L, lit("near-equal"))
+          .when(expr("i * 1000000 div sz_a") >= 900000L, lit("a-in-b"))
+          .when(expr("i * 1000000 div sz_b") >= 900000L, lit("b-in-a"))
+          .otherwise(lit("partial")).as("relation"))
+  }
 }

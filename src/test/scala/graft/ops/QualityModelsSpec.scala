@@ -51,4 +51,41 @@ class QualityModelsSpec extends SparkTestBase {
     val m = got.map(r => r._1 -> r._2).toMap
     assert(m(2L) % 3 == 0)
   }
+
+  test("importance weights: target-only vocabulary scores above raw-only; ratios match a hand recompute") {
+    // two disjoint vocabularies: target docs say "aa bb", raw-only docs say
+    // "cc dd" — a target-looking doc must score strictly higher
+    val d = Seq(
+      (1L, "aa bb aa bb", "en"), (2L, "aa bb aa bb", "en"),
+      (3L, "cc dd cc dd", "fr"), (4L, "cc dd cc dd", "fr"),
+      (5L, "aa bb cc dd", "de") // mixed, non-target
+    ).toDF("doc_id", "text", "lang")
+    val got = QualityModels.importanceWeights(d)
+      .select($"doc_id", $"n_words", $"score_ppm", $"keep")
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 5 && got.values.forall(_._2 == 4L))
+    // hand recompute of the bucketed model (4 distinct words, no collisions
+    // assumed — verified below by checking bucket count)
+    val words = d.select(explode(split($"text", " ")).as("w"), $"lang")
+    val nBuckets = words.select(expr(
+      s"CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % ${QualityModels.FeatureDim}"))
+      .distinct().count()
+    assert(nBuckets == 4, "fixture words must land in distinct buckets")
+    // tot_r = 20, tot_t = 8; target word: c_t=5? no — aa appears 2/doc in
+    // docs 1,2 (target) + 1 in doc 5 ⇒ c_r=5, c_t=4; cc: c_r=5, c_t=0
+    def ptPpb(ct: Long) = (ct + 1) * 1000000000L / (8 + 4096)
+    def prPpb(cr: Long) = (cr + 1) * 1000000000L / (20 + 4096)
+    def rPpm(ct: Long, cr: Long) = ptPpb(ct) * 1000000L / math.max(prPpb(cr), 1L)
+    val rT = rPpm(4, 5) // aa / bb
+    val rR = rPpm(0, 5) // cc / dd
+    assert(got(1L)._3 == rT && got(3L)._3 == rR)
+    assert(got(5L)._3 == (2 * rT + 2 * rR) / 4)
+    assert(got(1L)._3 > got(5L)._3 && got(5L)._3 > got(3L)._3,
+      "score must order target > mixed > raw-only")
+    // keep is a pure threshold of the recomputed score (at this fixture
+    // size add-one smoothing pulls every ratio below 1 — the ORDER is the
+    // invariant; the absolute bar only separates at corpus scale)
+    assert(got(1L)._4 == (if (rT >= 1000000L) 1 else 0))
+    assert(got(3L)._4 == (if (rR >= 1000000L) 1 else 0))
+  }
 }

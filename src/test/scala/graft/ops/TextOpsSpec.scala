@@ -225,4 +225,56 @@ class TextOpsSpec extends SparkTestBase {
     assert(nears.filter(col("heavy_dup") =!= 1).count() == 0)
     out.unpersist()
   }
+
+  test("containment: exact clones are near-equal; truncated clones are contained in their original") {
+    import spark.implicits._
+    val out = TextOps.containment(corpus).cache()
+    // exact clone pairs (orig, orig+2M): identical shingle sets both ways
+    val exact = out.filter(col("doc_b") - col("doc_a") === 2000000L &&
+      col("doc_a") % 40 === 0)
+    assert(exact.count() > 0)
+    assert(exact.filter(col("cont_a_ppm") =!= 1000000L ||
+      col("cont_b_ppm") =!= 1000000L || col("relation") =!= "near-equal").count() === 0)
+    // truncated near-clone (orig+1M, last 10 chars cut): ITS shingles are a
+    // subset of the original's first-512-char shingles wherever the trunc
+    // point lands ≤ 512 — so containment on the SHORT side is exactly 10^6
+    val trunc = out.filter(col("doc_b") - col("doc_a") === 1000000L &&
+      col("doc_a") % 50 === 0).cache()
+    assert(trunc.count() > 0)
+    val full = trunc.filter(col("cont_b_ppm") === 1000000L &&
+      (col("relation") === "b-in-a" || col("relation") === "near-equal")).count()
+    assert(full > 0, "at least one truncated clone is fully contained")
+    // the arithmetic is internally consistent on every row
+    val bad = out.filter(
+      col("cont_a_ppm") =!= expr("n_shared * 1000000 div sz_a") ||
+      col("cont_b_ppm") =!= expr("n_shared * 1000000 div sz_b") ||
+      col("n_shared") > least(col("sz_a"), col("sz_b")))
+    assert(bad.count() === 0)
+    trunc.unpersist(); out.unpersist()
+  }
+
+  test("sourceOverlap: planted cross-source clone creates the expected cell; matrix is upper-triangular") {
+    import spark.implicits._
+    // 3 sources; srcA and srcB share one long doc verbatim, srcC is disjoint
+    val longA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val longC = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val d = Seq(
+      ("srcA", longA), ("srcA", "unique to a " + longC.substring(0, 0)),
+      ("srcB", longA), ("srcB", "unique to b entirely different words"),
+      ("srcC", longC)
+    ).toDF("source", "text")
+    val got = TextOps.sourceOverlap(d)
+      .select($"source_a", $"source_b", $"n_shared", $"sz_a", $"sz_b", $"jaccard_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._1 < r._2), "matrix must be upper-triangular")
+    val ab = got.find(r => r._1 == "srcA" && r._2 == "srcB")
+    assert(ab.isDefined, "the planted shared doc must create the A-B cell")
+    // shared shingles = the shared doc's distinct shingles minus any that
+    // collide with the unique docs; at minimum the overlap is large
+    assert(ab.get._3 > 100)
+    assert(ab.get._6 === ab.get._3 * 1000000L / (ab.get._4 + ab.get._5 - ab.get._3))
+    // the disjoint source never pairs with A beyond hash-collision noise
+    assert(got.filter(r => r._2 == "srcC" || r._1 == "srcC")
+      .forall(_._3 < 5), "srcC shares no 8-grams by construction")
+  }
 }
