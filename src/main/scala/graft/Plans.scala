@@ -89,7 +89,15 @@ object Plans {
       "Epoch shuffle (global order via key-prefix buckets + offset broadcast)" ->
         ops.Packing.epochOrder(Synth.corpus(spark, sf)),
       "Bigram LM scoring (distinct-bigram prob table, per-doc agg)" ->
-        ops.QualityModels.bigramLmScore(Synth.corpus(spark, sf))
+        ops.QualityModels.bigramLmScore(Synth.corpus(spark, sf)),
+      "Host boilerplate (one (host,hash) presence exchange; same-key flag join)" ->
+        ops.WebCuration.hostBoilerplate(Synth.pages(spark, sf)),
+      "HITS (per half-round: edge join + ONE partial agg; 1-row max broadcast)" ->
+        ops.LinkGraph.hits(Synth.corpus(spark, sf)),
+      "DSIR importance weights (one model exchange; ≤4096-row broadcast scoring)" ->
+        ops.QualityModels.importanceWeights(Synth.corpus(spark, sf)),
+      "Source-overlap matrix (map-side distinct; hash-keyed pair join)" ->
+        ops.TextOps.sourceOverlap(spark.read.parquet(s"$sf/documents.parquet"))
     )
     val md = new StringBuilder("# PLANS — executed physical plans (AQE final)\n\n")
     md.append("Generated by `sbt \"runMain graft.Plans\"` at sf0.001; the plan\n")
