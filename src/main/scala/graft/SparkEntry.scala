@@ -991,6 +991,21 @@ object SparkEntry {
     "q152_containment" -> ((s, dir) =>
       TextOps.containment(Synth.corpus(s, dir))),
 
+    // reciprocal-link farm detection: above-average mutual host pairs
+    // closed into components over the CONDENSED host graph
+    "q153_link_farms" -> ((s, dir) =>
+      LinkGraph.linkFarms(Synth.pages(s, dir), Synth.corpus(s, dir))),
+
+    // robots-style longest-prefix-match URL filtering: broadcast rule
+    // table, map-only match, one max(struct) winner per URL
+    "q154_robots_filter" -> ((s, dir) =>
+      WebCuration.robotsFilter(Synth.pages(s, dir))),
+
+    // crawl-budget allocation: reputation verdict gates, drift bucket
+    // scales — two host-grain chains composed end-to-end
+    "q155_crawl_budget" -> ((s, dir) =>
+      WebCuration.crawlBudget(Synth.pages(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1491,6 +1506,90 @@ object SparkEntry {
 
   // ---- shared link-graph CTEs (q140/q143/q144): nodes = base corpus docs,
   // edges = the 3-quadratic-residue-target synthetic graph ----
+  /** Mirrored-pages fixture (q147/q149/q155): every 3rd page duplicated on
+    * host m-<host>. */
+  private val mirPgm =
+    """pgm AS (
+      |  SELECT 'https://' || source || '.example.com/doc/'
+      |      || CAST(doc_id AS VARCHAR) AS url, text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://m-' || source || '.example.com/doc/'
+      |      || CAST(doc_id AS VARCHAR) AS url, text
+      |  FROM documents WHERE doc_id % 3 = 0
+      |)""".stripMargin
+
+  /** Host-reputation chain over the mirrored fixture (q149/q155). */
+  private val repCtes: Seq[String] = Seq(mirPgm,
+    """rwd AS (
+      |  SELECT split_part(url, '/', 3) AS host, ws[g.i] AS w
+      |  FROM (SELECT url, string_split(text, ' ') AS ws FROM pgm)
+      |  CROSS JOIN generate_series(1, 128) g(i)
+      |  WHERE g.i <= len(ws)
+      |)""".stripMargin,
+    """rsc AS (
+      |  SELECT host, count(*) AS n_words,
+      |    sum(((CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 4096)
+      |          * 2654435761) % 2003 - 1001) AS w_sum
+      |  FROM rwd GROUP BY host
+      |)""".stripMargin,
+    """rhs AS (
+      |  SELECT split_part(url, '/', 3) AS host, url,
+      |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS hb
+      |  FROM pgm
+      |)""".stripMargin,
+    "roc AS (SELECT hb, count(*) AS nocc FROM rhs GROUP BY hb)",
+    """rdp AS (
+      |  SELECT host, count(*) AS n_pages,
+      |    sum(CASE WHEN o.nocc >= 2 THEN 1 ELSE 0 END) AS n_dup_pages
+      |  FROM rhs h JOIN roc o ON h.hb = o.hb GROUP BY host
+      |)""".stripMargin,
+    """rvd AS (
+      |  SELECT d.host, d.n_pages, d.n_dup_pages,
+      |    d.n_dup_pages * 1000000 // d.n_pages AS dup_ppm,
+      |    ((s.w_sum + 1001 * s.n_words) * 1000) // s.n_words AS score_ppk,
+      |    CASE WHEN d.n_dup_pages * 1000000 // d.n_pages >= 500000
+      |           THEN 'mirror-block'
+      |         WHEN ((s.w_sum + 1001 * s.n_words) * 1000) // s.n_words < 1001000
+      |           THEN 'low-quality'
+      |         ELSE 'keep' END AS verdict
+      |  FROM rdp d JOIN rsc s ON d.host = s.host
+      |)""".stripMargin)
+
+  /** Content-drift chain at host grain (q145/q155). */
+  private val driftCtes: Seq[String] = Seq(
+    """ftc AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS pid,
+      |    source || '.example.com' AS host, g.f AS f
+      |  FROM documents CROSS JOIN generate_series(0, 2) g(f)
+      |  WHERE g.f <= doc_id % 3
+      |)""".stripMargin,
+    """chg AS (
+      |  SELECT pid, host,
+      |    CASE WHEN f = 0 THEN 0
+      |         WHEN ((pid // (f + 1)) % 3) <> ((pid // f) % 3) THEN 1
+      |         ELSE 0 END AS changed
+      |  FROM ftc
+      |)""".stripMargin,
+    """pdu AS (
+      |  SELECT pid, host, count(*) - 1 AS n_refetches,
+      |    sum(changed) AS n_changed
+      |  FROM chg GROUP BY pid, host
+      |)""".stripMargin,
+    """hdr AS (
+      |  SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+      |    CAST(sum(n_refetches) AS BIGINT) AS n_refetches,
+      |    CAST(sum(n_changed) AS BIGINT) AS n_changed
+      |  FROM pdu GROUP BY host
+      |)""".stripMargin,
+    """bkt AS (
+      |  SELECT host,
+      |    CASE WHEN n_refetches > 0 AND (n_changed * 1000000) // n_refetches >= 500000 THEN 'volatile'
+      |         WHEN n_refetches > 0 AND n_changed > 0 THEN 'drifting'
+      |         ELSE 'static' END AS bucket
+      |  FROM hdr
+      |)""".stripMargin)
+
   private val lgNds = "nds AS (SELECT doc_id FROM corpus WHERE doc_id < 1000000)"
   private val lgNtot = "ntot AS (SELECT count(*) AS n FROM nds)"
   private val lgEdg =
@@ -2108,16 +2207,7 @@ object SparkEntry {
     // mirror hosts: host pairs sharing ≥3 byte-identical docs (hash fan-out
     // capped at 16 hosts before pairing); fixture mirrors every 3rd page
     // onto host m-<host>
-    "q147_mirror_hosts" -> withCtes(
-      """pgm AS (
-        |  SELECT 'https://' || source || '.example.com/doc/'
-        |      || CAST(doc_id AS VARCHAR) AS url, text
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT 'https://m-' || source || '.example.com/doc/'
-        |      || CAST(doc_id AS VARCHAR) AS url, text
-        |  FROM documents WHERE doc_id % 3 = 0
-        |)""".stripMargin,
+    "q147_mirror_hosts" -> withCtes(mirPgm,
       """mhh AS (
         |  SELECT DISTINCT split_part(url, '/', 3) AS host,
         |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS hb
@@ -2169,50 +2259,12 @@ object SparkEntry {
 
     // host reputation: dup-content ppm + hashed-classifier score at host
     // grain → mirror-block / low-quality / keep (mirrored fixture)
-    "q149_host_reputation" -> withCtes(
-      """pgm AS (
-        |  SELECT 'https://' || source || '.example.com/doc/'
-        |      || CAST(doc_id AS VARCHAR) AS url, text
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT 'https://m-' || source || '.example.com/doc/'
-        |      || CAST(doc_id AS VARCHAR) AS url, text
-        |  FROM documents WHERE doc_id % 3 = 0
-        |)""".stripMargin,
-      """rwd AS (
-        |  SELECT split_part(url, '/', 3) AS host, ws[g.i] AS w
-        |  FROM (SELECT url, string_split(text, ' ') AS ws FROM pgm)
-        |  CROSS JOIN generate_series(1, 128) g(i)
-        |  WHERE g.i <= len(ws)
-        |)""".stripMargin,
-      """rsc AS (
-        |  SELECT host, count(*) AS n_words,
-        |    sum(((CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 4096)
-        |          * 2654435761) % 2003 - 1001) AS w_sum
-        |  FROM rwd GROUP BY host
-        |)""".stripMargin,
-      """rhs AS (
-        |  SELECT split_part(url, '/', 3) AS host, url,
-        |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS hb
-        |  FROM pgm
-        |)""".stripMargin,
-      "roc AS (SELECT hb, count(*) AS nocc FROM rhs GROUP BY hb)",
-      """rdp AS (
-        |  SELECT host, count(*) AS n_pages,
-        |    sum(CASE WHEN o.nocc >= 2 THEN 1 ELSE 0 END) AS n_dup_pages
-        |  FROM rhs h JOIN roc o ON h.hb = o.hb GROUP BY host
-        |)""".stripMargin)(
-      """SELECT d.host, CAST(d.n_pages AS BIGINT) AS n_pages,
-        |  CAST(d.n_dup_pages AS BIGINT) AS n_dup_pages,
-        |  CAST(d.n_dup_pages * 1000000 // d.n_pages AS BIGINT) AS dup_ppm,
-        |  CAST(((s.w_sum + 1001 * s.n_words) * 1000) // s.n_words AS BIGINT)
-        |    AS score_ppk,
-        |  CASE WHEN d.n_dup_pages * 1000000 // d.n_pages >= 500000
-        |         THEN 'mirror-block'
-        |       WHEN ((s.w_sum + 1001 * s.n_words) * 1000) // s.n_words < 1001000
-        |         THEN 'low-quality'
-        |       ELSE 'keep' END AS verdict
-        |FROM rdp d JOIN rsc s ON d.host = s.host""".stripMargin),
+    "q149_host_reputation" -> withCtes(repCtes: _*)(
+      """SELECT host, CAST(n_pages AS BIGINT) AS n_pages,
+        |  CAST(n_dup_pages AS BIGINT) AS n_dup_pages,
+        |  CAST(dup_ppm AS BIGINT) AS dup_ppm,
+        |  CAST(score_ppk AS BIGINT) AS score_ppk, verdict
+        |FROM rvd""".stripMargin),
 
     // DSIR importance weighting: bucketed add-one target/raw ratio on a ppb
     // grid, clamp mirrored, per-doc mean ppm + keep verdict
@@ -2295,6 +2347,100 @@ object SparkEntry {
         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
         |JOIN sz sa ON sa.doc_id = p.doc_a
         |JOIN sz sb ON sb.doc_id = p.doc_b""".stripMargin),
+
+    // link farms: reciprocal host pairs at/above mean mutual weight,
+    // closed into components (recursive reachability, min host label)
+    "q153_link_farms" -> withRecursiveCtes(corpus, lgNds, lgNtot, lgEdg,
+      """hst AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS pid,
+        |    source || '.example.com' AS host
+        |  FROM documents
+        |)""".stripMargin,
+      """hge AS (
+        |  SELECT sh.host AS src_host, dh.host AS dst_host, count(*) AS n_links
+        |  FROM edg e
+        |  JOIN hst sh ON e.src = sh.pid
+        |  JOIN hst dh ON e.dst = dh.pid
+        |  WHERE sh.host <> dh.host
+        |  GROUP BY sh.host, dh.host
+        |)""".stripMargin,
+      """rcp AS (
+        |  SELECT a.src_host AS host_a, a.dst_host AS host_b,
+        |    least(a.n_links, b.n_links) AS mutual
+        |  FROM hge a JOIN hge b
+        |    ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+        |  WHERE a.src_host < a.dst_host
+        |)""".stripMargin,
+      "rct AS (SELECT sum(mutual) AS s, count(*) AS c FROM rcp)",
+      """rst AS (SELECT host_a, host_b FROM rcp CROSS JOIN rct
+        |  WHERE mutual * c >= s)""".stripMargin,
+      """und AS (
+        |  SELECT host_a AS a, host_b AS b FROM rst
+        |  UNION ALL
+        |  SELECT host_b AS a, host_a AS b FROM rst
+        |)""".stripMargin,
+      "hns AS (SELECT DISTINCT a AS host FROM und)",
+      """reach AS (
+        |  SELECT host AS node, host AS r FROM hns
+        |  UNION
+        |  SELECT u.b AS node, reach.r AS r FROM reach JOIN und u ON u.a = reach.node
+        |)""".stripMargin,
+      "cmp AS (SELECT node AS host, min(r) AS farm_host FROM reach GROUP BY node)",
+      "dg AS (SELECT a AS host, count(*) AS n_partners FROM und GROUP BY a)",
+      "fs AS (SELECT farm_host, count(*) AS farm_size FROM cmp GROUP BY farm_host)")(
+      """SELECT c.host, c.farm_host,
+        |  CAST(f.farm_size AS BIGINT) AS farm_size,
+        |  CAST(d.n_partners AS BIGINT) AS n_partners
+        |FROM cmp c
+        |JOIN fs f ON c.farm_host = f.farm_host
+        |JOIN dg d ON c.host = d.host""".stripMargin),
+
+    // robots longest-prefix match: per-host rule table, winner by
+    // (len desc, allow desc, prefix desc) ≡ the engine's max(struct)
+    "q154_robots_filter" -> withCtes(
+      """rpg AS (
+        |  SELECT 'https://' || source || '.example.com/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    source || '.example.com' AS host,
+        |    '/doc/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents
+        |)""".stripMargin,
+      "rhx AS (SELECT DISTINCT source || '.example.com' AS host FROM documents)",
+      """rrl AS (
+        |  SELECT host, '/doc/' AS prefix, 0 AS allow FROM rhx
+        |  UNION ALL
+        |  SELECT host, '/doc/1' AS prefix, 1 AS allow FROM rhx
+        |  UNION ALL
+        |  SELECT host,
+        |    '/doc/' || CAST(CAST('0x' || substring(md5(host), 1, 15) AS BIGINT) % 10 AS VARCHAR) AS prefix,
+        |    0 AS allow
+        |  FROM rhx
+        |)""".stripMargin,
+      """rmt AS (
+        |  SELECT p.url, p.host, r.prefix, r.allow
+        |  FROM rpg p JOIN rrl r
+        |    ON p.host = r.host AND starts_with(p.path, r.prefix)
+        |)""".stripMargin,
+      """rwn AS (
+        |  SELECT url, host, prefix, allow, length(prefix) AS len,
+        |    row_number() OVER (PARTITION BY url
+        |      ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+        |  FROM rmt
+        |)""".stripMargin)(
+      """SELECT url, host, CAST(len AS INT) AS rule_len,
+        |  CAST(allow AS INT) AS allowed, prefix AS rule_prefix
+        |FROM rwn WHERE rn = 1""".stripMargin),
+
+    // crawl budget: reputation chain ∘ drift chain, verdict-gated
+    // drift-scaled fetch budget
+    "q155_crawl_budget" -> withCtes((repCtes ++ driftCtes): _*)(
+      """SELECT v.host, CAST(v.n_pages AS BIGINT) AS n_pages, v.verdict,
+        |  coalesce(b.bucket, 'static') AS bucket,
+        |  CAST(v.n_pages * (CASE WHEN v.verdict <> 'keep' THEN 0
+        |       WHEN coalesce(b.bucket, 'static') = 'volatile' THEN 4
+        |       WHEN coalesce(b.bucket, 'static') = 'drifting' THEN 2
+        |       ELSE 1 END) AS BIGINT) AS budget_fetches
+        |FROM rvd v LEFT JOIN bkt b ON v.host = b.host""".stripMargin),
 
     // canonical pick: q118's component chain ∘ q138's classifier chain;
     // winner per component = (score desc, doc_id asc) — the engine's

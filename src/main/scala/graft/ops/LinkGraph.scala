@@ -182,4 +182,43 @@ object LinkGraph {
     auth.select(col("doc_id"), col("s").as("auth_ppm"))
       .join(hub.select(col("doc_id"), col("s").as("hub_ppm")), "doc_id")
   }
+
+  /** q153: reciprocal-link farm detection — host cliques wired together by
+    * ABOVE-AVERAGE mutual linkage, the classic link-spam neighborhood
+    * signal (organic links are mostly one-way; farms trade them). A
+    * reciprocal pair's strength is the weaker direction (`least` — a farm
+    * must feed both ways); pairs at or above the mean strength (exact
+    * integer cross-multiplication, no division) are closed into connected
+    * components by the same min-label + pointer-jumping loop as the dedup
+    * graph, and every member host reports its farm label (lexicographically
+    * smallest member), farm size, and reciprocal degree.
+    *
+    * Scale notes: everything runs on the CONDENSED host graph (q144 — the
+    * 10¹²-page edge set collapses to host pairs first); the reciprocal join
+    * keys on the reversed host pair (equi-join, AQE-splittable); the mean
+    * threshold is a 1-row broadcast; the CC loop runs over the strong-pair
+    * table (farm-density-sized, NOT host-count-sized) with O(log max-farm)
+    * rounds. */
+  def linkFarms(pages: DataFrame, docs: DataFrame): DataFrame = {
+    val hg = hostGraph(pages, docs)
+    val rec = hg.as("a").join(hg.as("b"),
+        col("a.src_host") === col("b.dst_host") &&
+        col("a.dst_host") === col("b.src_host") &&
+        col("a.src_host") < col("a.dst_host"))
+      .select(col("a.src_host").as("host_a"), col("a.dst_host").as("host_b"),
+        least(col("a.n_links"), col("b.n_links")).as("mutual"))
+    val tot = rec.agg(sum(col("mutual")).as("s"), count(lit(1)).as("c"))
+    val strong = rec.crossJoin(broadcast(tot)) // 1-row mean, broadcast by construction
+      .filter(col("mutual") * col("c") >= col("s"))
+      .select(col("host_a").as("doc_a"), col("host_b").as("doc_b"))
+    val comp = DedupGraph.components(strong)
+    val und = strong.select(col("doc_a").as("host"), col("doc_b").as("partner"))
+      .unionByName(strong.select(col("doc_b").as("host"), col("doc_a").as("partner")))
+    val deg = und.groupBy(col("host")).agg(count(lit(1)).as("n_partners"))
+    val fsz = comp.groupBy(col("component")).agg(count(lit(1)).as("farm_size"))
+    comp.select(col("doc_id").as("host"), col("component").as("farm_host"))
+      .join(fsz.select(col("component").as("farm_host"), col("farm_size")), "farm_host")
+      .join(deg, "host")
+      .select(col("host"), col("farm_host"), col("farm_size"), col("n_partners"))
+  }
 }

@@ -386,4 +386,78 @@ object WebCuration {
           .when(col("score_ppk") < 1001000L, lit("low-quality"))
           .otherwise(lit("keep")).as("verdict"))
   }
+
+  /** Deterministic per-host robots rule set — the fixture for longest-match
+    * filtering: every host disallows `/doc/` generally, allows back the
+    * `/doc/1` subtree (longest rule wins, so ids starting with 1 survive),
+    * and disallows one extra host-specific leading digit (a hash of the
+    * host name — exercises the case where the extra rule collides with and
+    * then ties against the allow rule). */
+  def robotsRules(pages: DataFrame): DataFrame = {
+    val hosts = pages
+      .select(split_part(col("url"), lit("/"), lit(3)).as("host")).distinct()
+    hosts.select(col("host"), explode(array(
+        struct(lit("/doc/").as("prefix"), lit(0).as("allow")),
+        struct(lit("/doc/1").as("prefix"), lit(1).as("allow")),
+        struct(concat(lit("/doc/"),
+          (conv(substring(md5(col("host")), 1, 15), 16, 10).cast("long") % 10)
+            .cast("string")).as("prefix"), lit(0).as("allow")))).as("r"))
+      .select(col("host"), col("r.prefix").as("prefix"), col("r.allow").as("allow"))
+  }
+
+  /** q154: robots-style URL-prefix filtering — apply a per-host rule table
+    * with LONGEST-PREFIX-MATCH semantics (ties break least-restrictive,
+    * then lexicographically — the REP tie rule, deterministic): per URL the
+    * winning rule's length, allow verdict, and prefix. The crawl-side twin
+    * of the PII scrub: every crawler applies exactly this shape at fetch
+    * scheduling and at corpus admission.
+    *
+    * Scale notes: the rule table is rules-per-host-sized (a broadcast — the
+    * real-world robots corpus is ~10⁷ hosts × a handful of rules; were it
+    * bigger the join keys on host and shuffles the RULES, never re-keying
+    * the page table); matching is map-only; the winner is ONE
+    * partial-aggregating max(struct) per URL — no window, no second pass
+    * over pages. */
+  def robotsFilter(pages: DataFrame): DataFrame = {
+    val rules = robotsRules(pages)
+    val p = pages.select(col("url"),
+      split_part(col("url"), lit("/"), lit(3)).as("host"),
+      concat(lit("/"), split_part(col("url"), lit("/"), lit(4)),
+        lit("/"), split_part(col("url"), lit("/"), lit(5))).as("path"))
+    p.join(broadcast(rules), "host")
+      .filter(col("path").startsWith(col("prefix")))
+      .groupBy(col("url"), col("host"))
+      .agg(max(struct(length(col("prefix")).as("len"), col("allow").as("allow"),
+        col("prefix").as("prefix"))).as("m"))
+      .select(col("url"), col("host"), col("m.len").as("rule_len"),
+        col("m.allow").as("allowed"), col("m.prefix").as("rule_prefix"))
+  }
+
+  /** q155: crawl-budget allocation — the revisit plan the scheduler feeds
+    * from: per host, the reputation verdict (q149) gates the budget to zero
+    * for blocked hosts, and the content-drift bucket (q145) scales it
+    * (volatile ×4 / drifting ×2 / static ×1) over `basePerUrl` fetches per
+    * known URL. Composes two oracle-checked chains end-to-end — the same
+    * composition discipline as q50/q142.
+    *
+    * Scale notes: both inputs are already host-grain tables (each one
+    * partial-aggregating exchange from the page table); the composition is
+    * a host-cardinality join + a pure when-ladder — nothing page-sized
+    * moves here. Mirror hosts (reputation's fixture side) carry no drift
+    * row ⇒ left join + 'static' default, and their mirror-block verdict
+    * zeroes the budget regardless. */
+  def crawlBudget(pages: DataFrame, basePerUrl: Int = 1): DataFrame = {
+    val rep = hostReputation(pages).select(col("host"), col("n_pages"), col("verdict"))
+    val drift = contentDrift(pages).select(col("host"), col("bucket"))
+    rep.join(drift, Seq("host"), "left")
+      .select(col("host"), col("n_pages"), col("verdict"),
+        coalesce(col("bucket"), lit("static")).as("bucket"))
+      .withColumn("mult",
+        when(col("verdict") =!= "keep", lit(0L))
+          .when(col("bucket") === "volatile", lit(4L))
+          .when(col("bucket") === "drifting", lit(2L))
+          .otherwise(lit(1L)))
+      .select(col("host"), col("n_pages"), col("verdict"), col("bucket"),
+        (col("n_pages") * col("mult") * basePerUrl).as("budget_fetches"))
+  }
 }

@@ -109,6 +109,41 @@ class LinkGraphSpec extends SparkTestBase {
     got.filter(r => !indeg.contains(r._1)).foreach(r => assert(r._2 == 0L))
   }
 
+  test("linkFarms: components agree with a brute-force union-find over the strong reciprocal pairs") {
+    val pages = graft.synth.Synth.pages(spark, sf0001)
+    val d = graft.synth.Synth.corpus(spark, sf0001)
+    val got = LinkGraph.linkFarms(pages, d)
+      .select($"host", $"farm_host", $"farm_size", $"n_partners")
+      .as[(String, String, Long, Long)].collect()
+    // brute force: condensation → reciprocal pairs → mean cut → union-find
+    val hostOf = pages.select($"pid", $"url").as[(Long, String)].collect()
+      .map { case (pid, url) => pid -> url.split("/")(2) }.toMap
+    val w = LinkGraph.edges(d).as[(Long, Long)].collect()
+      .map { case (s, t) => (hostOf(s), hostOf(t)) }.filter(p => p._1 != p._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rec = w.keys.filter { case (a, b) => a < b && w.contains((b, a)) }
+      .map { case (a, b) => ((a, b), math.min(w((a, b)), w((b, a)))) }.toMap
+    val (s, c) = (rec.values.sum, rec.size.toLong)
+    val strong = rec.filter { case (_, m) => m * c >= s }.keys.toSeq
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    strong.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo } }
+    val members = strong.flatMap(p => Seq(p._1, p._2)).distinct
+    // re-canonicalize to the true min member per component
+    val byComp = members.groupBy(find)
+    val label = byComp.flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+    val degree = strong.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.size.toLong)
+    assert(got.map(_._1).toSet == members.toSet)
+    got.foreach { case (h, farm, size, deg) =>
+      assert(farm === label(h), s"host $h farm label")
+      assert(size === byComp(find(h)).size.toLong, s"host $h farm size")
+      assert(deg === degree(h), s"host $h degree")
+    }
+  }
+
   test("hostGraph: no self-host edges; weights match a brute-force condensation") {
     val pages = graft.synth.Synth.pages(spark, sf0001)
     val d = graft.synth.Synth.corpus(spark, sf0001)

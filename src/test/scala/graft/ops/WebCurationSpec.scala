@@ -209,6 +209,60 @@ class WebCurationSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("robotsFilter: longest prefix wins, ties break least-restrictive, every url gets one verdict") {
+    val pages = Synth.pages(spark, sf0001)
+    val out = WebCuration.robotsFilter(pages).cache()
+    assert(out.count() === pages.count(), "exactly one verdict per url")
+    // ids starting with 1 match the allow rule '/doc/1' (len 6) — allowed
+    // unless the host's extra digit rule ties (same len) — then allow still
+    // wins (least-restrictive tie break)
+    val idOf = (u: String) => u.split("/").last
+    val rows = out.select($"url", $"rule_len", $"allowed", $"rule_prefix")
+      .as[(String, Int, Int, String)].collect()
+    rows.foreach { case (url, len, allowed, prefix) =>
+      assert(url.contains(prefix), s"winning rule must actually match: $url $prefix")
+      if (idOf(url).startsWith("1"))
+        assert(len === 6 && allowed === 1, s"$url must be allowed via /doc/1")
+      else assert(allowed === 0, s"$url: only /doc/1 ids are allowed")
+    }
+    // the generic '/doc/' rule only ever wins when no 6-char rule matches
+    assert(rows.filter(_._2 == 5).forall(_._3 == 0))
+    // brute-force spot check on one host: recompute the rule table
+    val h = rows.head._1.split("/")(2)
+    val d = (BigInt("0" + java.security.MessageDigest.getInstance("MD5")
+      .digest(h.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16) % 10).toLong
+    val hostRows = rows.filter(_._1.split("/")(2) == h)
+    hostRows.foreach { case (url, len, allowed, _) =>
+      val id = idOf(url)
+      val exp =
+        if (id.startsWith("1")) (6, 1)
+        else if (id.startsWith(d.toString)) (6, 0)
+        else (5, 0)
+      assert((len, allowed) === exp, s"$url (digit rule $d)")
+    }
+    out.unpersist()
+  }
+
+  test("crawlBudget: blocked hosts get zero; drift bucket scales the keep budget") {
+    val pages = Synth.pages(spark, sf0001)
+    val out = WebCuration.crawlBudget(pages).cache()
+    // mirror hosts are mirror-blocked → zero budget
+    val mirrors = out.filter($"host".startsWith("m-"))
+    assert(mirrors.count() > 0)
+    assert(mirrors.filter($"budget_fetches" =!= 0L).count() === 0)
+    // every kept host's budget is n_pages × the bucket multiplier
+    val bad = out.filter($"verdict" === "keep").filter(
+      ($"bucket" === "volatile" && $"budget_fetches" =!= $"n_pages" * 4) ||
+      ($"bucket" === "drifting" && $"budget_fetches" =!= $"n_pages" * 2) ||
+      ($"bucket" === "static" && $"budget_fetches" =!= $"n_pages"))
+    assert(bad.count() === 0)
+    // budgets agree with the standalone chains
+    val rep = WebCuration.hostReputation(pages).select($"host", $"verdict".as("v2"))
+    val joined = out.join(rep, "host").filter($"verdict" =!= $"v2")
+    assert(joined.count() === 0)
+    out.unpersist()
+  }
+
   test("content drift: host rollups match a per-page brute-force recompute") {
     val pages = Synth.pages(spark, sf0001)
     val out = WebCuration.contentDrift(pages).cache()
