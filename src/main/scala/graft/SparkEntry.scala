@@ -1006,6 +1006,11 @@ object SparkEntry {
     "q155_crawl_budget" -> ((s, dir) =>
       WebCuration.crawlBudget(Synth.pages(s, dir))),
 
+    // curation-gate agreement: per-language Cohen's kappa between the
+    // heuristic gate and the hashed classifier (exact signed ppm)
+    "q156_gate_agreement" -> ((s, dir) =>
+      QualityModels.gateAgreement(Synth.corpus(s, dir))),
+
     // TPC-H Q1 shape with exact arithmetic (sum of ints, min/max, avg)
     "q41_tpch_q1" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -2441,6 +2446,58 @@ object SparkEntry {
         |       WHEN coalesce(b.bucket, 'static') = 'drifting' THEN 2
         |       ELSE 1 END) AS BIGINT) AS budget_fetches
         |FROM rvd v LEFT JOIN bkt b ON v.host = b.host""".stripMargin),
+
+    // gate agreement: q19 heuristic keep vs q138 classifier keep per lang;
+    // kappa with the sign factored out of the division (div vs // parity)
+    "q156_gate_agreement" -> withCtes(corpus, wrd,
+      """gqh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nt >= 16 AND CAST(al AS DOUBLE) / CAST(nt AS DOUBLE) >= 2.0
+        |              AND CAST(al AS DOUBLE) / CAST(nt AS DOUBLE) <= 12.0
+        |         THEN 1 ELSE 0 END AS keep_h
+        |  FROM (SELECT doc_id,
+        |          CAST(length(text) - length(replace(text, ' ', '')) AS INT) + 1 AS nt,
+        |          length(replace(text, ' ', '')) AS al
+        |        FROM corpus)
+        |)""".stripMargin,
+      """gqw AS (
+        |  SELECT doc_id,
+        |    ((CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 4096)
+        |      * 2654435761) % 2003 - 1001 AS weight
+        |  FROM wrd
+        |)""".stripMargin,
+      """gqc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((sum(weight) + 1001 * count(*)) * 1000) // count(*)
+        |              >= 1001000 THEN 1 ELSE 0 END AS keep_c
+        |  FROM gqw GROUP BY doc_id
+        |)""".stripMargin,
+      """gtb AS (
+        |  SELECT c.lang, count(*) AS n,
+        |    sum(CASE WHEN keep_h = 1 AND keep_c = 1 THEN 1 ELSE 0 END) AS n11,
+        |    sum(CASE WHEN keep_h = 1 AND keep_c = 0 THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN keep_h = 0 AND keep_c = 1 THEN 1 ELSE 0 END) AS n01,
+        |    sum(CASE WHEN keep_h = 0 AND keep_c = 0 THEN 1 ELSE 0 END) AS n00
+        |  FROM corpus c
+        |  JOIN gqh h ON c.doc_id = h.doc_id
+        |  JOIN gqc q ON c.doc_id = q.doc_id
+        |  GROUP BY c.lang
+        |)""".stripMargin)(
+      """SELECT lang, CAST(n AS BIGINT) AS n,
+        |  CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |  CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+        |  CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000
+        |       // (n * n) AS BIGINT) AS pe_ppm,
+        |  CAST(CASE WHEN (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) = 0
+        |         THEN 0
+        |       WHEN ((n11 + n00) * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) < 0
+        |         THEN -((-((n11 + n00) * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))) * 1000000
+        |               // (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+        |       ELSE ((n11 + n00) * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) * 1000000
+        |            // (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+        |       END AS BIGINT) AS kappa_ppm
+        |FROM gtb""".stripMargin),
 
     // canonical pick: q118's component chain ∘ q138's classifier chain;
     // winner per component = (score desc, doc_id asc) — the engine's

@@ -146,4 +146,44 @@ object QualityModels {
         when(expr("r_sum div n_words") >= keepPpm, 1).otherwise(0)
           .cast("int").as("keep"))
   }
+
+  /** q156: curation-gate agreement audit — Cohen's kappa between the
+    * heuristic quality gate (q19) and the hashed classifier (q138), per
+    * language: the 2×2 contingency (n11/n10/n01/n00), observed and chance
+    * agreement in ppm, and kappa in exact signed ppm. The drift monitor
+    * every two-gate pipeline needs: when kappa collapses in one language,
+    * one of the gates broke for it.
+    *
+    * Determinism: kappa's numerator can be negative and Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so the sign is
+    * factored out and the division always runs on non-negative operands —
+    * bit-identical in both engines. Overflow headroom: pe's products need
+    * n < 3·10⁹ docs per language; shard larger languages first (documented
+    * bound, not a silent wrap).
+    *
+    * Scale notes: both gates are map-only scorers collapsing to doc grain
+    * in one partial agg each; the contingency is ONE exchange on the
+    * language key (≤ #languages rows out, skew combine-collapsed); the
+    * kappa arithmetic is per-row closed form on that tiny table. */
+  def gateAgreement(docs: DataFrame): DataFrame = {
+    val h = TextOps.quality(docs).select(col("doc_id"), col("keep").as("keep_h"))
+    val c = qualityClassifier(docs).select(col("doc_id"), col("keep").as("keep_c"))
+    val tab = docs.select(col("doc_id"), col("lang"))
+      .join(h, "doc_id").join(c, "doc_id")
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("keep_h") === 1 && col("keep_c") === 1, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("keep_h") === 1 && col("keep_c") === 0, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("keep_h") === 0 && col("keep_c") === 1, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("keep_h") === 0 && col("keep_c") === 0, 1L).otherwise(0L)).as("n00"))
+    val peNum = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    val num = s"((n11 + n00) * n - $peNum)"
+    val den = s"(n * n - $peNum)"
+    tab.select(col("lang"), col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      expr("(n11 + n00) * 1000000 div n").as("po_ppm"),
+      expr(s"$peNum * 1000000 div (n * n)").as("pe_ppm"),
+      expr(s"""CASE WHEN $den = 0 THEN CAST(0 AS BIGINT)
+              |     WHEN $num < 0 THEN -((-$num) * 1000000 div $den)
+              |     ELSE $num * 1000000 div $den END""".stripMargin).as("kappa_ppm"))
+  }
 }

@@ -88,4 +88,26 @@ class QualityModelsSpec extends SparkTestBase {
     assert(got(1L)._4 == (if (rT >= 1000000L) 1 else 0))
     assert(got(3L)._4 == (if (rR >= 1000000L) 1 else 0))
   }
+
+  test("gate agreement: contingency partitions each language; kappa matches a hand recompute") {
+    val d = graft.synth.Synth.corpus(SharedSpark.spark, sf0001)
+    val got = QualityModels.gateAgreement(d)
+      .select($"lang", $"n", $"n11", $"n10", $"n01", $"n00", $"kappa_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val perLang = d.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    got.foreach { case (lang, n, n11, n10, n01, n00, kappa) =>
+      assert(n === perLang(lang), s"$lang: contingency must cover every doc")
+      assert(n11 + n10 + n01 + n00 === n)
+      // hand kappa in exact integer arithmetic, sign factored out
+      val pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+      val num = (n11 + n00) * n - pe
+      val den = n * n - pe
+      val exp = if (den == 0) 0L
+        else if (num < 0) -((-num) * 1000000L / den)
+        else num * 1000000L / den
+      assert(kappa === exp, s"$lang kappa")
+      assert(kappa >= -1000000L && kappa <= 1000000L)
+    }
+  }
 }
