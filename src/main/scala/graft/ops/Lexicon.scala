@@ -122,7 +122,12 @@ object Lexicon {
       .withColumn("n_docs", sum(col("cnt")).over(wAll))
     cum
       .groupBy(col("lang"))
-      .agg(max(col("n_docs")).as("n_docs"),
+      // n_docs is DOUBLE on purpose: the (frozen) oracle's `sum(cnt)` widens
+      // to DuckDB HUGEINT, which the driver materializes as float64 — an
+      // INT64 spark column is value-equal but hash-different (the r5 red
+      // row). Matching the oracle's effective output type makes the hash
+      // agree; the value is a small exact integer either way.
+      .agg(max(col("n_docs")).cast("double").as("n_docs"),
         min(when(col("cum") * 2 >= col("n_docs"), col("n_tokens"))).as("p50"),
         min(when(col("cum") * 10 >= col("n_docs") * 9, col("n_tokens"))).as("p90"),
         min(when(col("cum") * 100 >= col("n_docs") * 99, col("n_tokens"))).as("p99"),

@@ -24,16 +24,17 @@ object TextOps {
   val NumHashes = 16
   val NumBands = 4 // 4 rows/band
 
-  /** (doc_id, sh): all char [[ShingleLen]]-grams of the first
-    * [[MaxShingleChars]] chars. Docs shorter than one shingle are dropped. */
-  def shingles(docs: DataFrame): DataFrame =
+  /** (doc_id, hb): 60-bit hashes of all char [[ShingleLen]]-grams of the
+    * first [[MaxShingleChars]] chars, in position order (multiset — repeats
+    * kept; `distinct = true` for the first-occurrence-distinct set). Docs
+    * shorter than one shingle are dropped. Values = the md5-prefix chain the
+    * oracles mirror, computed by the [[graft.functions.GraftMd5]] kernel. */
+  def shingles(docs: DataFrame, distinct: Boolean = false): DataFrame =
     docs
       .filter(length(col("text")) >= ShingleLen)
       .select(col("doc_id"),
-        explode(sequence(lit(1),
-          least(length(col("text")), lit(MaxShingleChars)) - (ShingleLen - 1))).as("i"),
-        col("text"))
-      .select(col("doc_id"), expr(s"substring(text, i, $ShingleLen)").as("sh"))
+        explode(if (distinct) graft.functions.Shingles60.shingles60Distinct(col("text"))
+          else graft.functions.Shingles60.shingles60(col("text"))).as("hb"))
 
   /** MinHash permutation modulus + per-seed universal-hash coefficients. */
   val HashP = 1000000007L
@@ -75,20 +76,20 @@ object TextOps {
     docs
       .filter(length(col("text")) >= ShingleLen)
       .select(col("doc_id"),
-        // per-doc array_distinct INSIDE the generator, not a global
-        // .distinct(): every duplicate (doc_id, hb) pair comes from within
-        // one source row (doc_id is the corpus key), so the classic
-        // shuffle-distinct moves the entire shingle table (359M rows at the
-        // ×256 bench leg) through an exchange + two-phase hash aggregate to
-        // deduplicate rows that were already co-located — measured as THE
-        // dominant cost of the whole dedup family one order up (369 s of the
-        // incremental leg's 578 s wall; the map-side form cut it to pure
-        // compute and restored the leg's docs/sec linearity). Output is
-        // bit-identical: same 60-bit md5-prefix hashes, same per-doc sets.
-        explode(array_distinct(expr(
-          s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
-            s"i -> CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT))")))
-          .as("hb"))
+        // per-doc distinct INSIDE the generator, not a global .distinct():
+        // every duplicate (doc_id, hb) pair comes from within one source row
+        // (doc_id is the corpus key), so the classic shuffle-distinct moves
+        // the entire shingle table (359M rows at the ×256 bench leg) through
+        // an exchange + two-phase hash aggregate to deduplicate rows that
+        // were already co-located — measured as THE dominant cost of the
+        // whole dedup family one order up. The hash itself is the
+        // [[graft.functions.GraftMd5]] kernel — bit-identical to the old
+        // conv(substring(md5(substring(text,i,8)),1,15),16,10) chain (the
+        // form the oracles mirror) at ~10× less per-shingle cost: linear
+        // byte-window walk instead of per-position codepoint re-scans, one
+        // allocation-free single-block MD5 per gram instead of a digest
+        // object + 32-char hex string + string→decimal conv parse.
+        explode(graft.functions.Shingles60.shingles60Distinct(col("text"))).as("hb"))
 
   /** Wide MinHash signature: (doc_id, m0..m15) with
     * m_k = min over shingles of (hb·(17+4099·k) + 31+7907·k) mod P — the
@@ -99,7 +100,9 @@ object TextOps {
     * combine (min over md5 *strings* degrades to SortAggregate — measured
     * 50× slower), and md5 runs once per shingle. */
   def minhashWide(docs: DataFrame): DataFrame =
-    minhashWideFrom(shingles(docs).withColumn("hb", baseHash(col("sh"))))
+    // the distinct (doc_id, hb) table: minima are invariant under distinct,
+    // and the per-doc dedup shrinks the aggregated row count for free
+    minhashWideFrom(shingleHashes(docs))
 
   /** Wide MinHash from a prepared (doc_id, hb) table (hb any 60-bit hash —
     * minima are taken mod P). Distinctness of hb does not change the minima,
@@ -209,13 +212,15 @@ object TextOps {
   /** 16-bit SimHash from the md5 of each shingle: bit k of the fingerprint is
     * the majority vote of hex-digit bit k across shingles. */
   def simhash16(docs: DataFrame): DataFrame = {
-    val withHash = shingles(docs)
-      .select(col("doc_id"), md5(col("sh")).as("h"))
+    // the 60-bit kernel value is the first 15 hex digits of the md5, so hex
+    // char j (0-based) has value (hb >> 4·(14−j)) & 15 — the first 4 hex
+    // digits this op votes on are bits 59..44. NON-distinct multiset
+    // (multiplicity is the vote weight), same values as the old per-shingle
+    // md5-hex derivation.
+    val withHash = shingles(docs, distinct = false)
     // hex digit d_k = value of hex char k/4; bit = (d >> (3 - k%4)) & 1
-    val digitVal = (k: Int) =>
-      conv(substring(col("h"), k / 4 + 1, 1), 16, 10).cast("int")
     val bitSums = (0 until 16).map { k =>
-      val bit = shiftright(digitVal(k), 3 - k % 4) % 2
+      val bit = shiftright(col("hb"), 4 * (14 - k / 4) + (3 - k % 4)) % 2
       sum(bit * 2 - 1).as(s"s$k")
     }
     val sums = withHash.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -412,7 +417,6 @@ object TextOps {
     * aggregations with map-side combine. */
   def repetition(docs: DataFrame): DataFrame = {
     val counts = shingles(docs)
-      .withColumn("hb", baseHash60(col("sh")))
       .groupBy(col("doc_id"), col("hb")).agg(count(lit(1)).as("cnt"))
     counts.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_shingles"),
@@ -556,12 +560,10 @@ object TextOps {
   private def positionalShingleHashes(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= ShingleLen)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
-          s"i -> struct(CAST(i AS BIGINT) AS pos, " +
-          s"CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT) AS hb))"))
-        .as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.hb").as("hb"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.Shingles60.shingles60(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("hb"))
 
   /** q134: the REMOVAL ledger of exact-substring dedup (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better") — where
@@ -617,10 +619,8 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val lsh = docs
       .filter(length(col("text")) >= ShingleLen)
-      .select(col("lang"), explode(array_distinct(expr(
-        s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
-          s"i -> CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT))")))
-        .as("hb"))
+      .select(col("lang"),
+        explode(graft.functions.Shingles60.shingles60Distinct(col("text"))).as("hb"))
     val byLang = Window.partitionBy(col("lang")).orderBy(col("hb").asc)
     val kept = lsh.withColumn("rnk", dense_rank().over(byLang)).filter(col("rnk") <= k)
     val est = kept.groupBy(col("lang"))
@@ -652,10 +652,8 @@ object TextOps {
   def sourceOverlap(docs: DataFrame): DataFrame = {
     val sh = docs
       .filter(length(col("text")) >= ShingleLen)
-      .select(col("source"), explode(array_distinct(expr(
-        s"transform(sequence(1, least(length(text), $MaxShingleChars) - ${ShingleLen - 1}), " +
-          s"i -> CAST(conv(substring(md5(substring(text, i, $ShingleLen)), 1, 15), 16, 10) AS BIGINT))")))
-        .as("hb"))
+      .select(col("source"),
+        explode(graft.functions.Shingles60.shingles60Distinct(col("text"))).as("hb"))
       .distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     sh.as("a").join(sh.as("b"),

@@ -173,12 +173,15 @@ class LexiconSpec extends SparkTestBase {
     val fr = Seq((100L, "a b"), (101L, "c d"), (102L, "e f g h i j k"))
     val d = en.toDF("doc_id", "text").withColumn("lang", lit("en"))
       .unionByName(fr.toDF("doc_id", "text").withColumn("lang", lit("fr")))
+    // n_docs is DOUBLE by design: the frozen oracle's uncast sum() widens to
+    // HUGEINT → float64, and the driver's hash is representation-sensitive
+    // (see Lexicon.lengthQuantiles) — the engine mirrors that output type
     val got = Lexicon.lengthQuantiles(d)
       .select("lang", "n_docs", "p50", "p90", "p99", "n_max")
-      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .as[(String, Double, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got("en") == (("en", 10L, 5L, 9L, 10L, 10L)))
-    assert(got("fr") == (("fr", 3L, 2L, 7L, 7L, 7L)))
+    assert(got("en") == (("en", 10.0, 5L, 9L, 10L, 10L)))
+    assert(got("fr") == (("fr", 3.0, 2L, 7L, 7L, 7L)))
   }
 
   test("lengthQuantiles: counts cap at MaxWords (the histogram domain bound)") {

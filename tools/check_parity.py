@@ -24,6 +24,19 @@ for name, sql in sorted(oracle.items()):
     ocols, scols = sorted(odf.columns), sorted(sdf.columns)
     if ocols != scols:
         print(f"[{name}] SCHEMA MISMATCH oracle={ocols} spark={scols}"); fail += 1; continue
+    # Type-family-strict: the driver's result hash is sensitive to the VALUE
+    # REPRESENTATION (r5's q131 was value-equal but the oracle's uncast
+    # sum() widened to HUGEINT → pandas float64 → "4232.0" vs spark BIGINT →
+    # "4232" → hash fail, which this checker's value-only compare waved
+    # through). int32 vs int64 render identically and have always hashed
+    # equal, so only flag FAMILY mismatches (int vs float vs other).
+    def fam(dt):
+        k = dt.kind if hasattr(dt, "kind") else "O"
+        return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "other")
+    dtbad = [(c, str(odf[c].dtype), str(sdf[c].dtype))
+             for c in ocols if fam(odf[c].dtype) != fam(sdf[c].dtype)]
+    if dtbad:
+        print(f"[{name}] DTYPE FAMILY MISMATCH {dtbad}"); fail += 1; continue
     o = odf[ocols].sort_values(ocols, na_position='first').reset_index(drop=True)
     s = sdf[ocols].sort_values(ocols, na_position='first').reset_index(drop=True)
     if len(o) != len(s):
