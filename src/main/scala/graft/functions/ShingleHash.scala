@@ -201,6 +201,40 @@ object GraftMd5 {
     }
   }
 
+  /** MinHash family constants — MUST stay textually in sync with
+    * [[graft.ops.TextOps]] (HashP / the k·4099+17, k·7907+31 coefficients)
+    * and with every oracle that mirrors them. */
+  val HashP = 1000000007L
+  val NumHashes = 16
+
+  /** Fused per-doc wide MinHash signature: m_k = min over shingles of
+    * ((hb mod P)·(17+4099k) + (31+7907k)) mod P — identical values to
+    * aggregating `min` over the exploded (doc_id, hb) table (minima are
+    * multiset/distinct-invariant), with no generator, no 16-expression
+    * aggregate and no per-doc rows beyond the signature itself. The distinct
+    * probe means each repeated gram costs one hash-set hit instead of 16
+    * multiply-mods. Returns null-free array<long> of length 16; empty-window
+    * docs (< ShingleLen chars — callers filter those) return an empty array. */
+  def minhash16(text: UTF8String): ArrayData = {
+    val hashes = shingles60(text, distinct = true) // primitive, already distinct
+    val n = hashes.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val mins = new Array[Long](NumHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = hashes.getLong(i) % HashP
+      var k = 0
+      while (k < NumHashes) {
+        val v = (hp * (k * 4099 + 17) + (k * 7907 + 31)) % HashP
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** Optionally dedup (first-occurrence order, matching `array_distinct`)
     * and wrap as a primitive array. */
   private def pack(out: Array[Long], n: Int, distinct: Boolean): ArrayData = {
@@ -267,6 +301,31 @@ object Shingles60 {
   /** First-occurrence-distinct variant (≡ `array_distinct(shingles60(text))`). */
   def shingles60Distinct(text: Column): Column =
     GraftColumnBridge.column(Shingles60(GraftColumnBridge.expression(text), distinct = true))
+}
+
+/** Fused wide MinHash: `minhash16(text)` → array<long>(16) — see
+  * [[GraftMd5.minhash16]]. */
+case class Minhash16(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "minhash16"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(s: Any): Any =
+    GraftMd5.minhash16(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftMd5.minhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): Minhash16 =
+    copy(child = newChild)
+}
+
+object Minhash16 {
+  def minhash16(c: Column): Column =
+    GraftColumnBridge.column(Minhash16(GraftColumnBridge.expression(c)))
 }
 
 /** Scalar 60-bit md5-prefix: ≡ `CAST(conv(substring(md5(s),1,15),16,10) AS

@@ -31,8 +31,22 @@ object AnnSearch {
       .select(col("vec_id"), col("pos"),
         round(col("v").cast("double") * 1000.0).cast("long").as("q"))
 
+  /** ARRAY form of the quantization — same per-element `round(v·1000)` (the
+    * identical Spark `round`, HALF_UP), kept as one `array<bigint>` per
+    * vector so signature/rerank math can run per row instead of over a
+    * posexploded (vec, pos, q) table. */
+  def quantizedArr(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(
+      "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))").as("qa"))
+
   def norms(quant: DataFrame): DataFrame =
     quant.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
+
+  /** Norms off the array form: one higher-order `aggregate` per row — no
+    * explode, no exchange; integer sums commute so values match [[norms]]. */
+  def normsArr(qarr: DataFrame): DataFrame =
+    qarr.select(col("vec_id"),
+      expr("aggregate(qa, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("n2"))
 
   /** Exact top-k neighbors of the query vectors (vec_id % queryMod == 0),
     * excluding self. Output: (qvec, rank, vec, cos). */
@@ -60,18 +74,13 @@ object AnnSearch {
     * a mid bit of a Knuth multiplicative hash — a LINEAR parity like
     * (pos·197 + b·131) % 2 degenerates to one hyperplane repeated up to sign
     * (all odd multipliers preserve parity), which this must avoid. */
-  def srpBuckets(emb: DataFrame, nBits: Int = 8, tableSeed: Int = 0): DataFrame = {
-    val q = quantized(emb)
-    val bitSums = (0 until nBits).map { b =>
-      val bit = shiftright((col("pos") + lit(tableSeed * 1009 + b * 37 + 1)) * lit(2654435761L), 13)
-        .bitwiseAND(lit(1L))
-      sum(col("q") * (bit * 2 - 1)).as(s"p$b")
-    }
-    val sums = q.groupBy(col("vec_id")).agg(bitSums.head, bitSums.tail: _*)
-    val bucket = (0 until nBits).map(b =>
-      when(col(s"p$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    sums.select(col("vec_id"), bucket.as("bucket"))
-  }
+  def srpBuckets(emb: DataFrame, nBits: Int = 8, tableSeed: Int = 0): DataFrame =
+    // FUSED ([[graft.functions.GraftAnn.srpBucket]]): the posexplode →
+    // nBits-sum aggregate → sign recombination collapses to one per-row
+    // array pass — no generator, no exchange, bit-identical bucket ids
+    // (same Knuth-hash hyperplane signs; integer sums commute)
+    quantizedArr(emb).select(col("vec_id"),
+      graft.functions.SrpBucket.srpBucket(col("qa"), nBits, tableSeed).as("bucket"))
 
   /** Multi-table SRP ANN (the production scale path): candidates = vectors
     * sharing a bucket in ANY of `tables` hyperplane families (classic
@@ -488,18 +497,21 @@ object AnnSearch {
   private def nearDupPairsN(emb: DataFrame, nDocs: Long,
       targetBucket: Int = 32, tables: Int = 8): DataFrame = {
     val cand = nearDupCandidates(emb, targetBucket, tables, nDocs = nDocs)
-    val q = quantized(emb).cache()
-    val n = norms(q)
-    val dots = cand
-      .hint("shuffle_hash")
-      .join(q.select(col("vec_id").as("va"), col("pos"), col("q").as("qa")), "va")
-      .hint("shuffle_hash")
-      .join(q.select(col("vec_id").as("vb"), col("pos"), col("q").as("qb")), Seq("vb", "pos"))
-      .groupBy(col("va"), col("vb"))
-      .agg(sum(col("qa") * col("qb")).as("dot"))
-    dots
-      .join(n.select(col("vec_id").as("va"), col("n2").as("na")), "va")
-      .join(n.select(col("vec_id").as("vb"), col("n2").as("nb")), "vb")
+    // ARRAY-form rerank: attach each side's quantized array + norm with two
+    // narrow vec_id joins and compute the dot per PAIR ROW via
+    // zip_with/aggregate — the (vec,pos,q)-exploded form shuffled dim× more
+    // rows through two shuffle_hash joins plus a (va,vb) aggregate exchange.
+    // Integer sums commute, so dot/norm values (and the one double divide)
+    // are bit-identical.
+    val qa = quantizedArr(emb)
+      .withColumn("n2", expr("aggregate(qa, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    cand
+      .join(qa.select(col("vec_id").as("va"), col("qa").as("qaa"), col("n2").as("na")), "va")
+      .join(qa.select(col("vec_id").as("vb"), col("qa").as("qab"), col("n2").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        expr("aggregate(zip_with(qaa, qab, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("dot"),
+        col("na"), col("nb"))
       .select(col("va"), col("vb"),
         (col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cos"))
   }

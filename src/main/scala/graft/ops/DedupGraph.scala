@@ -36,7 +36,7 @@ object DedupGraph {
       .join(docs.select(col("doc_id").as("doc_b"), md5(col("text")).as("h")), "h")
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    val near = TextOps.ngramJaccardFrom(TextOps.shingleHashes(docs))
+    val near = TextOps.ngramJaccard(docs)
       .filter(col("jaccard") >= jaccardMin)
       .select(col("doc_a"), col("doc_b"))
     exact.unionByName(near).distinct()
@@ -65,27 +65,63 @@ object DedupGraph {
     // round joins against it — checkpointed so the (possibly expensive)
     // pair-generation lineage is cut from every round's plan
     val undC = und.localCheckpoint()
-    var labels = undC.select(col("src").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id")).localCheckpoint()
+    // SEED = round-1 propagate for free: comp₀(v) = min({v} ∪ neighbors) is
+    // one partial-aggregating min over the edge table itself — no join (the
+    // old identity seed paid a full join round to reach the same state).
+    // Star components (the dominant dup shape: exact-content groups are
+    // emitted as stars) are fully labelled by the seed alone, so the loop
+    // often runs exactly one confirming round.
+    var labels = undC.select(col("src").as("doc_id"), col("dst").as("comp"))
+      .unionByName(undC.select(col("src").as("doc_id"), col("src").as("comp")))
+      .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+      .localCheckpoint()
     var converged = false
     var it = 0
+    // Convergence by MONOTONE LABEL SUM for numeric ids: every round maps
+    // comp(v) → min(comp(v), …) then comp(comp(v)) ≤ comp(v), so per-doc
+    // labels never increase; Σcomp is therefore equal between rounds iff NO
+    // row changed (all deltas ≤ 0 and Σdelta = 0 ⇒ all 0) — the identical
+    // fixpoint the old changed-row join detected, for the cost of one local
+    // scan of the just-checkpointed partitions. The r5 shape paid, per
+    // round, a labels⋈labels exchange + join just to find one changed row.
+    // Σ fits BIGINT for n·max_id < 2⁶³ (1.34 M docs × 2.6e10 ids at the
+    // ×256 leg ≈ 3.4e16; a deployment past ~10¹⁴ id-docs swaps in a DECIMAL
+    // sum). Non-numeric ids (the host-name graph of q153) cannot sum — they
+    // keep the r5 changed-row join, which is fine at host-graph cardinality.
+    // The propagate is the UNION form — labels ∪ edge-carried neighbor
+    // labels into ONE partial-aggregating min — one fewer exchange per
+    // round than the aggregate-then-left-join form, same minima.
+    val numericIds = edges.schema.fields.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // seed-aware init: a graph the seed already labelled (all-star) then
+    // exits after one confirming round instead of two
+    var prevSum: Option[Any] =
+      if (numericIds) Option(labels.agg(sum(col("comp"))).collect()(0).get(0))
+      else None
     while (!converged && it < maxIters) {
       // propagate: comp ← min(own comp, neighbors' comps)
-      val viaNbr = undC
+      val contrib = undC
         .join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min(col("comp")).as("nc"))
-      val prop = labels.join(viaNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .select(col("src").as("doc_id"), col("comp"))
+      val prop = contrib.unionByName(labels)
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
       // pointer jump: comp ← comp(comp) — labels are min-ids so the label
       // table itself maps old roots to newer, smaller roots
       val next = prop
         .join(prop.select(col("doc_id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
         .select(col("doc_id"), coalesce(col("comp2"), col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
-        .filter(col("comp") =!= col("prev")).limit(1).count()
+      if (numericIds) {
+        val s = Option(next.agg(sum(col("comp"))).collect()(0).get(0))
+        // None == None on an empty edge set: converges after one round
+        converged = s == prevSum
+        prevSum = s
+      } else {
+        val changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
+          .filter(col("comp") =!= col("prev")).limit(1).count()
+        converged = changed == 0L
+      }
       labels = next
-      converged = changed == 0L
       it += 1
     }
     labels.select(col("doc_id"), col("comp").as("component"))

@@ -62,8 +62,8 @@ object Packing {
     * ledger, but with a GLOBAL total order. */
   def epochOrder(docs: DataFrame, epoch: Int = 0): DataFrame = {
     val keyed = docs.select(col("doc_id"),
-      conv(substring(md5(concat(lit(s"ep$epoch:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long").as("okey"))
+      graft.functions.Md5Prefix60.md5Prefix60(
+        concat(lit(s"ep$epoch:"), col("doc_id").cast("string"))).as("okey"))
       .withColumn("bucket", expr("okey div 1125899906842624").cast("int")) // 2^50
     val byBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("okey"), col("doc_id"))

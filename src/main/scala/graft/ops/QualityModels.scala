@@ -82,7 +82,7 @@ object QualityModels {
       .filter(size(col("ws")) >= 1)
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .withColumn("bucket",
-        expr(s"CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % $FeatureDim"))
+        graft.functions.Md5Prefix60.md5Prefix60(col("w")) % FeatureDim)
       .withColumn("weight", expr("(bucket * 2654435761) % 2003 - 1001"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("weight")).as("w_sum"))
@@ -123,7 +123,7 @@ object QualityModels {
       .filter(size(col("ws")) >= 1)
       .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
       .withColumn("bucket",
-        expr(s"CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % $FeatureDim"))
+        graft.functions.Md5Prefix60.md5Prefix60(col("w")) % FeatureDim)
     val counts = words.groupBy(col("bucket"))
       .agg(count(lit(1)).as("c_r"),
         sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_t"))

@@ -99,10 +99,18 @@ object TextOps {
     * Numeric minima keep the aggregation in HashAggregate with map-side
     * combine (min over md5 *strings* degrades to SortAggregate — measured
     * 50× slower), and md5 runs once per shingle. */
-  def minhashWide(docs: DataFrame): DataFrame =
-    // the distinct (doc_id, hb) table: minima are invariant under distinct,
-    // and the per-doc dedup shrinks the aggregated row count for free
-    minhashWideFrom(shingleHashes(docs))
+  def minhashWide(docs: DataFrame): DataFrame = {
+    // FUSED per-doc signature ([[graft.functions.GraftMd5.minhash16]]): the
+    // whole minhash is a pure map off the scan — no shingle generator, no
+    // corpus-×-grams rows through a 16-expression hash aggregate. Identical
+    // values (minima are multiset-invariant; the kernel reuses the same
+    // 60-bit gram hashes and permutation constants).
+    val mh = docs.filter(length(col("text")) >= ShingleLen)
+      .select(col("doc_id"),
+        graft.functions.Minhash16.minhash16(col("text")).as("mh"))
+    mh.select(col("doc_id") +:
+      (0 until NumHashes).map(k => col("mh").getItem(k).as(s"m$k")): _*)
+  }
 
   /** Wide MinHash from a prepared (doc_id, hb) table (hb any 60-bit hash —
     * minima are taken mod P). Distinctness of hb does not change the minima,
@@ -162,12 +170,57 @@ object TextOps {
     * candidate generation (minhash → bands → pairs) and the exact verify both
     * read the same cached table. */
   def ngramJaccard(docs: DataFrame): DataFrame =
-    ngramJaccardFrom(shingleHashes(docs))
+    // candidate pairs from the FUSED minhash map (no shingle explode on the
+    // banding side); the verify intersects per-doc shingle ARRAYS per pair
+    jaccardVerifyArr(docs, pairsOf(lshBands(docs)))
 
-  def ngramJaccardFrom(sh: DataFrame): DataFrame = {
+  /** Per-doc distinct shingle arrays for the pair participants, cached:
+    * (doc_id, arr, sz). The semi-join cut keeps the cached table bounded by
+    * candidate density, not corpus size. */
+  private def pairDocArrays(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    docs.filter(length(col("text")) >= ShingleLen)
+      .select(col("doc_id"),
+        graft.functions.Shingles60.shingles60Distinct(col("text")).as("arr"))
+      .join(pairDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("sz"))
+      .cache()
+  }
+
+  /** ARRAY-FORM exact-Jaccard verify (r6): every output row keys on a
+    * candidate pair, so attach each side's distinct shingle ARRAY with two
+    * narrow doc-id joins and compute |A∩B| per pair row with the
+    * [[graft.functions.IntersectCountKernel]] probe. The r5 row-form
+    * verify joined the pairs table into the (doc_id, hb)-exploded shingle
+    * table twice: the first join multiplied every pair by doc_a's ~280
+    * shingles (123 M intermediate rows at the ×256 leg — measured 25 s in
+    * the `inter` stage alone) and shuffled that for the second join + a
+    * (doc_a, doc_b) aggregate. The array form moves the same bytes at most
+    * once, has no pair×shingles intermediate and no aggregate, and i, sz_a,
+    * sz_b (and the one double division) are value-identical, so the q16
+    * oracle is untouched. Missing-intersection pairs fall out naturally
+    * (IntersectCount = 0 where the row form needed a left join + coalesce). */
+  private def jaccardVerifyArr(docs: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.cache()
+    val arr = pairDocArrays(docs, pairs)
+    pairs
+      .join(arr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("sz").as("sza")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("sz").as("szb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.IntersectCount.intersectCount(col("arr_a"), col("arr_b")).as("i"),
+        col("sza"), col("szb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("sza") + col("szb") - col("i")).cast("double")).as("jaccard"))
+  }
+
+  def ngramJaccardFrom(sh: DataFrame): DataFrame =
+    jaccardVerify(sh, pairsOf(bandsOf(minhashWideFrom(sh))))
+
+  private def jaccardVerify(sh: DataFrame, pairs0: DataFrame): DataFrame = {
     // distinct 60-bit shingle hashes instead of the strings: 8-byte join keys
     // (collision odds ~n²/2⁶¹ — negligible, and mirrored in the oracle)
-    val pairs = pairsOf(bandsOf(minhashWideFrom(sh))).cache()
+    val pairs = pairs0.cache()
     // Semi-join reduction: every output row keys on a candidate pair, so the
     // shingle table is first cut to docs that appear in ANY pair via a
     // left_semi join on bare 8-byte ids — without it the verify joins
@@ -250,7 +303,7 @@ object TextOps {
       .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "h")
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"))
-    val nearLosers = ngramJaccardFrom(shingleHashes(docs))
+    val nearLosers = ngramJaccard(docs)
       .filter(col("jaccard") >= jaccardMax)
       .select(col("doc_b").as("doc_id")).distinct()
     q.join(dupLosers, Seq("doc_id"), "left_anti")
@@ -284,7 +337,7 @@ object TextOps {
   def incrementalDedup(docs: DataFrame, idSplit: Long = 1000000L,
       jaccardMax: Double = 0.9): DataFrame = {
     val sh = shingleHashes(docs)
-    val bands = bandsOf(minhashWideFrom(sh))
+    val bands = lshBands(docs) // fused minhash map — same values
     incrementalDedupAgainst(
       sh.filter(col("doc_id") < idSplit), bands.filter(col("doc_id") < idSplit),
       sh.filter(col("doc_id") >= idSplit), bands.filter(col("doc_id") >= idSplit),
@@ -295,10 +348,8 @@ object TextOps {
     * per corpus snapshot: the distinct (doc_id, hb) shingle-hash table and
     * the LSH band table. Write them once (e.g. via `Snapshots`), feed them to
     * [[incrementalDedupAgainst]] for every arriving batch. */
-  def dedupArtifacts(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = shingleHashes(docs)
-    (sh, bandsOf(minhashWideFrom(sh)))
-  }
+  def dedupArtifacts(docs: DataFrame): (DataFrame, DataFrame) =
+    (shingleHashes(docs), lshBands(docs))
 
   /** Incremental dedup of a batch against PRECOMPUTED base artifacts —
     * nothing on the base side is recomputed; only the batch is shingled and
@@ -512,7 +563,7 @@ object TextOps {
   def fuzzyDecontaminate(docs: DataFrame, isEval: org.apache.spark.sql.Column,
       jaccardMin: Double = 0.5): DataFrame = {
     val sh = shingleHashes(docs)
-    val bands = bandsOf(minhashWideFrom(sh))
+    val bands = lshBands(docs) // fused minhash map — same values
     incrementalDedupAgainst(sh.filter(isEval), bands.filter(isEval),
       sh.filter(!isEval), bands.filter(!isEval), jaccardMin)
       .withColumnRenamed("match_doc", "eval_doc")
@@ -543,6 +594,12 @@ object TextOps {
     * window, no sort, linear in corpus shingles. */
   def dupSpanProfile(docs: DataFrame, heavyFrac: Double = 0.5): DataFrame = {
     val dsh = shingleHashes(docs)
+    // r6 probe: a df≥2-filtered build side was tried here and measured
+    // SLOWER at the ×64 leg (17.6 s vs 12.6 s) — the synthetic corpus's
+    // shingle vocabulary is small (831 k distinct vs 89.8 M rows at ×64), so
+    // the full df table already AQE-broadcasts and 98 % of hashes have
+    // df ≥ 2 anyway; the filter bought nothing and the left-join shape lost
+    // the inner join's null-skipping. Keeping the r5 shape.
     val df = dsh.groupBy(col("hb")).agg(count(lit(1)).as("df_docs"))
     dsh.join(df, "hb")
       .groupBy(col("doc_id"))
@@ -681,10 +738,33 @@ object TextOps {
     * dup density, not corpus size), shuffle_hash pinning the build side.
     * All outputs integer (counts + floor-ppm) ⇒ bit-identical at any
     * partitioning. */
-  def containment(docs: DataFrame): DataFrame = containmentFrom(shingleHashes(docs))
+  def containment(docs: DataFrame): DataFrame = {
+    // same array-form verify as [[ngramJaccard]] — identical i/sz values,
+    // floor-ppm arithmetic unchanged
+    val pairs = pairsOf(lshBands(docs)).cache()
+    val arr = pairDocArrays(docs, pairs)
+    pairs
+      .join(arr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("sz").as("sz_a")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.IntersectCount.intersectCount(col("arr_a"), col("arr_b")).as("i"),
+        col("sz_a"), col("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("i").as("n_shared"),
+        col("sz_a"), col("sz_b"),
+        expr("i * 1000000 div sz_a").as("cont_a_ppm"),
+        expr("i * 1000000 div sz_b").as("cont_b_ppm"),
+        when(expr("i * 1000000 div sz_a") >= 900000L &&
+             expr("i * 1000000 div sz_b") >= 900000L, lit("near-equal"))
+          .when(expr("i * 1000000 div sz_a") >= 900000L, lit("a-in-b"))
+          .when(expr("i * 1000000 div sz_b") >= 900000L, lit("b-in-a"))
+          .otherwise(lit("partial")).as("relation"))
+  }
 
-  def containmentFrom(sh: DataFrame): DataFrame = {
-    val pairs = pairsOf(bandsOf(minhashWideFrom(sh))).cache()
+  def containmentFrom(sh: DataFrame): DataFrame =
+    containmentVerify(sh, pairsOf(bandsOf(minhashWideFrom(sh))))
+
+  private def containmentVerify(sh: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.cache()
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val shP = sh.join(pairDocs, Seq("doc_id"), "left_semi").cache()

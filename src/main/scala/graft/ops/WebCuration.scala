@@ -57,7 +57,9 @@ object WebCuration {
     // merge two paragraphs' dedup groups (odds ~n²/2⁶¹) and the oracle
     // mirrors the same key, so parity is unaffected
     val paras = paragraphs(docs)
-      .withColumn("h", conv(substring(md5(col("para")), 1, 15), 16, 10).cast("long"))
+      // md5-prefix kernel: same 60-bit value as
+      // conv(substring(md5(para),1,15),16,10), minus the hex round trip
+      .withColumn("h", graft.functions.Md5Prefix60.md5Prefix60(col("para")))
     // winner per hash via a packed-BIGINT min — NOT a row_number window: the
     // partial aggregate collapses a boilerplate paragraph's million copies
     // map-side, and the join back is AQE-skew-splittable where a window
@@ -198,7 +200,7 @@ object WebCuration {
     * stratum-count ≪ corpus (languages), or swap in a per-stratum hash
     * threshold when approximate quotas suffice. */
   def stratifiedSample(docs: DataFrame, frac: Double = 0.3): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.Md5Prefix60.md5Prefix60(col("doc_id").cast("string"))
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     val cw = Window.partitionBy(col("lang"))
     docs.select(col("doc_id"), col("lang"), h.as("h"))
@@ -276,7 +278,7 @@ object WebCuration {
           s"""transform(sequence(0, (size(ws) + ${ParaWords - 1}) div $ParaWords - 1),
              |  i -> array_join(slice(ws, i * $ParaWords + 1, $ParaWords), ' '))""".stripMargin))
           .as(Seq("para_id", "para")))
-      .withColumn("h", conv(substring(md5(col("para")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.Md5Prefix60.md5Prefix60(col("para")))
     val hostPages = docs.groupBy(col("host")).agg(count(lit(1)).as("h_pages"))
     val flags = paras.groupBy(col("host"), col("h"))
       .agg(countDistinct(col("pid")).as("n_with"))
@@ -329,7 +331,7 @@ object WebCuration {
       minShared: Int = 3): DataFrame = {
     val withM = pagesWithMirror(pages)
     val hh = withM.select(split_part(col("url"), lit("/"), lit(3)).as("host"),
-        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("hb"))
+        graft.functions.Md5Prefix60.md5Prefix60(col("text")).as("hb"))
       .distinct()
     val sizes = hh.groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
     val eligible = hh.groupBy(col("hb")).agg(count(lit(1)).as("nh"))
@@ -366,13 +368,14 @@ object WebCuration {
     val scores = withM
       .select(col("host"),
         explode(expr(s"slice(split(text, ' '), 1, $MaxWords)")).as("w"))
-      .withColumn("weight", expr(
-        s"(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % ${QualityModels.FeatureDim}) * 2654435761 % 2003 - 1001"))
+      .withColumn("weight",
+        (graft.functions.Md5Prefix60.md5Prefix60(col("w")) % QualityModels.FeatureDim)
+          * 2654435761L % 2003L - 1001L)
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_words"), sum(col("weight")).as("w_sum"))
       .withColumn("score_ppk", expr("((w_sum + 1001 * n_words) * 1000) div n_words"))
     val hashed = withM.select(col("host"), col("url"),
-      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("hb"))
+      graft.functions.Md5Prefix60.md5Prefix60(col("text")).as("hb"))
     val dupHashes = hashed.groupBy(col("hb")).agg(count(lit(1)).as("nocc"))
     val dups = hashed.join(dupHashes, "hb")
       .groupBy(col("host"))
@@ -400,7 +403,7 @@ object WebCuration {
         struct(lit("/doc/").as("prefix"), lit(0).as("allow")),
         struct(lit("/doc/1").as("prefix"), lit(1).as("allow")),
         struct(concat(lit("/doc/"),
-          (conv(substring(md5(col("host")), 1, 15), 16, 10).cast("long") % 10)
+          (graft.functions.Md5Prefix60.md5Prefix60(col("host")) % 10)
             .cast("string")).as("prefix"), lit(0).as("allow")))).as("r"))
       .select(col("host"), col("r.prefix").as("prefix"), col("r.allow").as("allow"))
   }
