@@ -157,9 +157,11 @@ object QualityModels {
     * Determinism: kappa's numerator can be negative and Spark's `div`
     * truncates toward zero while DuckDB's `//` floors, so the sign is
     * factored out and the division always runs on non-negative operands —
-    * bit-identical in both engines. Overflow headroom: pe's products need
-    * n < 3·10⁹ docs per language; shard larger languages first (documented
-    * bound, not a silent wrap).
+    * bit-identical in both engines. Overflow headroom: pe_ppm/kappa_ppm
+    * multiply n²-bounded products by 10⁶, so BIGINT overflow starts near
+    * n ≈ 3·10⁶ docs per language (n²·10⁶ < 2⁶³), NOT the 3·10⁹ an earlier
+    * note claimed; shard larger languages first, or compute pe on a
+    * reduced grid (documented bound, not a silent wrap).
     *
     * Scale notes: both gates are map-only scorers collapsing to doc grain
     * in one partial agg each; the contingency is ONE exchange on the

@@ -316,7 +316,9 @@ object WebCuration {
 
   /** q147: mirror-host detection — host pairs serving ≥ `minShared`
     * byte-identical documents, with the overlap as ppm of the smaller
-    * host's page count. The standard crawl-curation step that collapses
+    * host's DISTINCT-CONTENT count (`sizes` counts distinct (host, hash)
+    * rows, so a host's internal exact-duplicate pages collapse before the
+    * denominator). The standard crawl-curation step that collapses
     * mirrored sites before per-host quotas are applied (a mirror would
     * otherwise double its content's weight in the corpus).
     *
