@@ -204,8 +204,17 @@ object TextOps {
   private def jaccardVerifyArr(docs: DataFrame, pairs0: DataFrame): DataFrame = {
     val pairs = pairs0.cache()
     val arr = pairDocArrays(docs, pairs)
+    // shuffle_hash on the pair chain — same discipline as the r5 row-form
+    // verify: Catalyst's ESTIMATES for the kernel-derived array table are
+    // scan-based guesses, and both sides are dup-DENSITY-bounded, so a
+    // statically-chosen broadcast is the 8 GB-cliff/OOM risk the r3 bench
+    // actually hit; the hint pins a shuffled hash join with the narrow pair
+    // rows as build side, and AQE still coalesces/skew-splits from measured
+    // sizes (PlanSpec gates this shape)
     pairs
+      .hint("shuffle_hash")
       .join(arr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("sz").as("sza")), "doc_a")
+      .hint("shuffle_hash")
       .join(arr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("sz").as("szb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.IntersectCount.intersectCount(col("arr_a"), col("arr_b")).as("i"),
@@ -743,8 +752,12 @@ object TextOps {
     // floor-ppm arithmetic unchanged
     val pairs = pairsOf(lshBands(docs)).cache()
     val arr = pairDocArrays(docs, pairs)
+    // shuffle_hash: see jaccardVerifyArr — estimate-based broadcasts of
+    // dup-density-bounded sides are the scale cliff this family avoids
     pairs
+      .hint("shuffle_hash")
       .join(arr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("sz").as("sz_a")), "doc_a")
+      .hint("shuffle_hash")
       .join(arr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("sz").as("sz_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.IntersectCount.intersectCount(col("arr_a"), col("arr_b")).as("i"),

@@ -167,19 +167,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("jaccard verify never broadcasts the shingle table (generator sizes mislead Catalyst)") {
-    // Catalyst under-estimates exploded generators: without the shuffle_hash
-    // hints the (doc, hb) verify joins broadcast the shingle side — ~1 GiB
-    // at a 16×-sharded corpus, unbounded at 100 TB (observed as Spark OOM
-    // exit 52 in the round-3 bench). The gate inspects the ESTIMATE-planned
-    // physical plan: AQE may still convert to broadcast at runtime when the
-    // measured size is genuinely small — that conversion uses real sizes
-    // and is exactly the behavior we want to keep
+  test("jaccard verify never broadcasts the shingle-array table (estimates mislead Catalyst)") {
+    // Catalyst's size estimates for the kernel-derived per-doc array table
+    // are scan-based guesses, and BOTH verify sides are dup-density-bounded
+    // (a re-crawl storm can inflate them corpus-scale) — a statically-chosen
+    // broadcast is the 8 GB-cliff/OOM the round-3 bench actually hit with
+    // the old exploded shingle table. The gate inspects the ESTIMATE-planned
+    // physical plan: the shuffle_hash hints must pin shuffled hash joins for
+    // the two arr-attach joins; AQE may still convert to broadcast at
+    // runtime from MEASURED sizes — that is the behavior we want to keep.
     val plan = graft.ops.TextOps.ngramJaccard(Synth.corpus(spark, sf0001))
       .queryExecution.sparkPlan.toString
-    assert(!"""BroadcastHashJoin \[doc_[ab]#\d+L?, hb""".r.findFirstIn(plan).isDefined,
-      "shingle-side broadcast returned:\n" + plan.take(3000))
-    assert(plan.contains("ShuffledHashJoin"), "verify joins lost the shuffle_hash build:\n" + plan.take(2000))
+    assert(!"""BroadcastHashJoin \[doc_[ab]""".r.findFirstIn(plan).isDefined,
+      "array-side broadcast returned:\n" + plan.take(3000))
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2,
+      "verify joins lost the shuffle_hash build:\n" + plan.take(2000))
   }
 
   test("bridge flows: buffer cover + threshold dims broadcast; zonal max is a partial agg") {
